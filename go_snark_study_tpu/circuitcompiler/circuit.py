@@ -1,0 +1,218 @@
+"""Compiled circuit: R1CS generation + witness calculation (host).
+
+Reference: circuitcompiler/circuit.go.  Behavioural quirks preserved on
+purpose (see SURVEY appendix), because golden-vector parity depends on them:
+
+  * ``in`` constraints produce NO R1CS rows — the reference's per-input loop
+    mutates scratch rows and then ``continue``s before appending
+    (circuit.go:102-108), so only arithmetic constraints become rows.
+  * ``-`` negates BOTH operands (insertVarNeg on V1 and V2,
+    circuit.go:115-119).
+  * the witness is computed over RAW integers with no field reduction, and
+    ``/`` is Euclidean integer division exactly like Go's ``big.Int.Div``
+    (circuit.go:173-184).  ``calculate_witness(..., field=fr)`` offers the
+    field-semantics mode the reference lacks.
+  * use-before-set is an error (the reference panics, circuit.go:63,76; we
+    raise ``CircuitError``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+__all__ = ["Circuit", "Constraint", "CircuitError"]
+
+
+class CircuitError(Exception):
+    pass
+
+
+@dataclass
+class Constraint:
+    """One flat-code operation ``v1 op v2 = out``.
+    Reference: circuit.go:29-39."""
+
+    op: str = ""
+    v1: str = ""
+    v2: str = ""
+    out: str = ""
+    literal: str = ""
+    private_inputs: List[str] = field(default_factory=list)  # func declarations
+    public_inputs: List[str] = field(default_factory=list)
+
+    def to_json(self) -> dict:
+        """Go-style JSON field names (utils/base10parsers.go marshals
+        Constraint verbatim with exported names)."""
+        return {
+            "Op": self.op,
+            "V1": self.v1,
+            "V2": self.v2,
+            "Out": self.out,
+            "Literal": self.literal,
+            "PrivateInputs": self.private_inputs or None,
+            "PublicInputs": self.public_inputs or None,
+        }
+
+    @classmethod
+    def from_json(cls, d: dict) -> "Constraint":
+        return cls(
+            op=d.get("Op", "") or "",
+            v1=d.get("V1", "") or "",
+            v2=d.get("V2", "") or "",
+            out=d.get("Out", "") or "",
+            literal=d.get("Literal", "") or "",
+            private_inputs=list(d.get("PrivateInputs") or []),
+            public_inputs=list(d.get("PublicInputs") or []),
+        )
+
+
+def _is_value(s: str) -> Optional[int]:
+    """Go's strconv.Atoi on lexer identifier runs: digits only (the lexer
+    emits '-' as its own token, so no signs appear here)."""
+    if s and s.isdigit():
+        return int(s)
+    return None
+
+
+def _go_div(x: int, y: int) -> int:
+    """Go big.Int.Div: Euclidean division, remainder in [0, |y|)."""
+    q, r = divmod(x, y)
+    if r != 0 and y < 0:
+        # python floors (r has sign of y); Euclidean wants r >= 0
+        q += 1
+    return q
+
+
+@dataclass
+class R1CS:
+    A: List[List[int]] = field(default_factory=list)
+    B: List[List[int]] = field(default_factory=list)
+    C: List[List[int]] = field(default_factory=list)
+
+
+@dataclass
+class Circuit:
+    """Reference: circuit.go:12-26.  Signal order is
+    [one, publicInputs..., privateInputs..., intermediates...]."""
+
+    n_vars: int = 0
+    n_public: int = 0
+    n_signals: int = 0
+    private_inputs: List[str] = field(default_factory=list)
+    public_inputs: List[str] = field(default_factory=list)
+    signals: List[str] = field(default_factory=list)
+    witness: List[int] = field(default_factory=list)
+    constraints: List[Constraint] = field(default_factory=list)
+    r1cs: R1CS = field(default_factory=R1CS)
+
+    # ------------------------------------------------------------------
+    def _signal_index(self, name: str) -> int:
+        try:
+            return self.signals.index(name)
+        except ValueError:
+            raise CircuitError(f"unknown signal {name!r}")
+
+    def _insert_var(self, arr: List[int], v: str, used: Dict[str, bool], sign: int) -> None:
+        val = _is_value(v)
+        if val is not None:
+            arr[0] += val  # constants fold into column 0 ("one"); note the
+            # reference adds the RAW value even for insertVarNeg
+            # (circuit.go:70-81) — mirrored.
+            return
+        if not used.get(v):
+            raise CircuitError(f"using variable before it's set: {v!r}")
+        arr[self._signal_index(v)] += sign
+
+    def generate_r1cs(self):
+        """Flat code -> R1CS rows.  Reference: circuit.go:84-148."""
+        a: List[List[int]] = []
+        b: List[List[int]] = []
+        c: List[List[int]] = []
+        used: Dict[str, bool] = {}
+        n = len(self.signals)
+        for cons in self.constraints:
+            row_a, row_b, row_c = [0] * n, [0] * n, [0] * n
+            used[cons.out] = True
+            if cons.op == "in":
+                # produces no R1CS row (reference's continue-before-append,
+                # circuit.go:102-108) — it only marks the input as set.
+                continue
+            elif cons.op == "+":
+                row_c[self._signal_index(cons.out)] = 1
+                self._insert_var(row_a, cons.v1, used, +1)
+                self._insert_var(row_a, cons.v2, used, +1)
+                row_b[0] = 1
+            elif cons.op == "-":
+                row_c[self._signal_index(cons.out)] = 1
+                self._insert_var(row_a, cons.v1, used, -1)
+                self._insert_var(row_a, cons.v2, used, -1)
+                row_b[0] = 1
+            elif cons.op == "*":
+                row_c[self._signal_index(cons.out)] = 1
+                self._insert_var(row_a, cons.v1, used, +1)
+                self._insert_var(row_b, cons.v2, used, +1)
+            elif cons.op == "/":
+                self._insert_var(row_c, cons.v1, used, +1)
+                row_c[self._signal_index(cons.out)] = 1
+                self._insert_var(row_b, cons.v2, used, +1)
+            else:
+                # func declarations etc. never reach generate_r1cs in the
+                # reference because main's constraint list has only in/ops
+                continue
+            a.append(row_a)
+            b.append(row_b)
+            c.append(row_c)
+        self.r1cs = R1CS(a, b, c)
+        return a, b, c
+
+    # ------------------------------------------------------------------
+    def _grab(self, w: List[int], v: str):
+        val = _is_value(v)
+        if val is not None:
+            return val
+        return w[self._signal_index(v)]
+
+    def calculate_witness(
+        self,
+        private_inputs: Sequence[int],
+        public_inputs: Sequence[int],
+        field_modulus: Optional[int] = None,
+    ) -> List[int]:
+        """Sequential constraint evaluation.  Reference: circuit.go:158-186
+        (raw-integer semantics).  Pass ``field_modulus`` for the mod-r
+        field-semantics mode (an extension; the reference has none)."""
+        if len(private_inputs) != len(self.private_inputs):
+            raise CircuitError("given privateInputs != circuit.PrivateInputs")
+        if len(public_inputs) != len(self.public_inputs):
+            raise CircuitError("given publicInputs != circuit.PublicInputs")
+        w = [0] * len(self.signals)
+        w[0] = 1
+        for i, x in enumerate(public_inputs):
+            w[i + 1] = x
+        for i, x in enumerate(private_inputs):
+            w[i + len(public_inputs) + 1] = x
+        m = field_modulus
+        for cons in self.constraints:
+            if cons.op == "in":
+                continue
+            v1 = self._grab(w, cons.v1)
+            v2 = self._grab(w, cons.v2)
+            if cons.op == "+":
+                r = v1 + v2
+            elif cons.op == "-":
+                r = v1 - v2
+            elif cons.op == "*":
+                r = v1 * v2
+            elif cons.op == "/":
+                if m is None:
+                    r = _go_div(v1, v2)
+                else:
+                    r = (v1 * pow(v2, -1, m)) % m
+            else:
+                continue
+            if m is not None:
+                r %= m
+            w[self._signal_index(cons.out)] = r
+        self.witness = w
+        return w
