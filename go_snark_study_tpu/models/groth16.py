@@ -153,6 +153,10 @@ def generate_trusted_setup(
     pk.g1.beta = g1.mul_scalar(g1.g, tox.kbeta)
     pk.g1.delta = g1.mul_scalar(g1.g, tox.kdelta)
     pk.g2.beta = g2.mul_scalar(g2.g, tox.kbeta)
+    # the reference leaves Pk.G2.Gamma unset (nil — its JSON string
+    # round-trip emits "<nil>", groth16.go:15-32 vs base10parsers.go); we
+    # populate it properly and the codecs tolerate the reference's nil.
+    pk.g2.gamma = g2.mul_scalar(g2.g, tox.kgamma)
     pk.g2.delta = g2.mul_scalar(g2.g, tox.kdelta)
 
     vk.g1.alpha = g1.mul_scalar(g1.g, tox.kalpha)

@@ -1,0 +1,237 @@
+"""Batched, branchless Jacobian point arithmetic on TPU.
+
+The TPU replacement for the reference's per-point, branchy group law
+(bn128/g1.go:32-155, g2.go:32-181; SURVEY §2.9 row 1).  Same EFD formulas
+(add-2007-bl / dbl-2009-l) but vectorised over N points with all control flow
+turned into lane masks (``jnp.where``), because a warp... a *vector* of 128
+lanes can't branch per point:
+
+  * identity handling: Z == 0 selects the other operand;
+  * equal-point handling: the affine-equal case (h == 0, s1 == s2) routes to
+    the doubling result — the serial reference never hits this case in its
+    double-and-add loop, but Pippenger bucket accumulation does;
+  * inverse-point case (h == 0, s1 != s2) yields the identity.
+
+Field elements are (32, N) Montgomery limb arrays (:mod:`.limbs`); G2 runs
+the identical formulas over a batched Fq2 adapter (Karatsuba mul, beta = -1).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .limbs import FieldKernels
+
+__all__ = ["BatchFq", "BatchFq2", "jacobian_add", "jacobian_double", "G1Batch", "G2Batch"]
+
+
+class BatchFq:
+    """Adapter presenting FieldKernels as the generic field interface the
+    Jacobian formulas consume.  Elements: (32, N) int32 arrays."""
+
+    def __init__(self, K: FieldKernels):
+        self.K = K
+
+    def add(self, a, b):
+        return self.K._add_impl(a, b)
+
+    def sub(self, a, b):
+        return self.K._sub_impl(a, b)
+
+    def mul(self, a, b):
+        return self.K._mul_impl(a, b)
+
+    def square(self, a):
+        return self.K._mul_impl(a, a)
+
+    def double(self, a):
+        return self.K._add_impl(a, a)
+
+    def is_zero(self, a):
+        return self.K.is_zero(a)
+
+    def equal(self, a, b):
+        return self.K.equal(a, b)
+
+    def select(self, mask, a, b):
+        """mask: (N,) bool; picks a where true."""
+        return jnp.where(mask[None, :], a, b)
+
+    def zeros_like(self, a):
+        return jnp.zeros_like(a)
+
+
+class BatchFq2:
+    """Batched Fq2 with beta = -1 (BN128's non-residue: bn128.go:86).
+    Elements: pairs (c0, c1) of (32, N) arrays."""
+
+    def __init__(self, K: FieldKernels):
+        self.K = K
+
+    def add(self, a, b):
+        return (self.K._add_impl(a[0], b[0]), self.K._add_impl(a[1], b[1]))
+
+    def sub(self, a, b):
+        return (self.K._sub_impl(a[0], b[0]), self.K._sub_impl(a[1], b[1]))
+
+    def mul(self, a, b):
+        K = self.K
+        v0 = K._mul_impl(a[0], b[0])
+        v1 = K._mul_impl(a[1], b[1])
+        t = K._mul_impl(K._add_impl(a[0], a[1]), K._add_impl(b[0], b[1]))
+        return (
+            K._sub_impl(v0, v1),  # beta = -1
+            K._sub_impl(t, K._add_impl(v0, v1)),
+        )
+
+    def square(self, a):
+        # complex squaring for beta=-1: (a0^2 - a1^2, 2 a0 a1)
+        K = self.K
+        t = K._mul_impl(K._add_impl(a[0], a[1]), K._sub_impl(a[0], a[1]))
+        m = K._mul_impl(a[0], a[1])
+        return (t, K._add_impl(m, m))
+
+    def double(self, a):
+        return (self.K._add_impl(a[0], a[0]), self.K._add_impl(a[1], a[1]))
+
+    def is_zero(self, a):
+        return jnp.logical_and(self.K.is_zero(a[0]), self.K.is_zero(a[1]))
+
+    def equal(self, a, b):
+        return jnp.logical_and(self.K.equal(a[0], b[0]), self.K.equal(a[1], b[1]))
+
+    def select(self, mask, a, b):
+        m = mask[None, :]
+        return (jnp.where(m, a[0], b[0]), jnp.where(m, a[1], b[1]))
+
+    def zeros_like(self, a):
+        return (jnp.zeros_like(a[0]), jnp.zeros_like(a[1]))
+
+
+def jacobian_double(F, p):
+    """dbl-2009-l, branchless (identity doubles to identity for free since
+    Z=0 gives Z3 = 2*Y*Z = 0)."""
+    x, y, z = p
+    a = F.square(x)
+    b = F.square(y)
+    c = F.square(b)
+    t = F.square(F.add(x, b))
+    d = F.double(F.sub(F.sub(t, a), c))
+    e = F.add(F.double(a), a)
+    f = F.square(e)
+    x3 = F.sub(f, F.double(d))
+    c8 = F.double(F.double(F.double(c)))
+    y3 = F.sub(F.mul(e, F.sub(d, x3)), c8)
+    z3 = F.double(F.mul(y, z))
+    return (x3, y3, z3)
+
+
+def jacobian_add(F, p1, p2):
+    """add-2007-bl with full case analysis via masks."""
+    x1, y1, z1 = p1
+    x2, y2, z2 = p2
+    p1_zero = F.is_zero(z1)
+    p2_zero = F.is_zero(z2)
+
+    z1z1 = F.square(z1)
+    z2z2 = F.square(z2)
+    u1 = F.mul(x1, z2z2)
+    u2 = F.mul(x2, z1z1)
+    s1 = F.mul(y1, F.mul(z2, z2z2))
+    s2 = F.mul(y2, F.mul(z1, z1z1))
+    h = F.sub(u2, u1)
+    r_ = F.double(F.sub(s2, s1))
+
+    h_zero = F.is_zero(h)
+    r_zero = F.is_zero(r_)
+
+    i = F.square(F.double(h))
+    j = F.mul(h, i)
+    v = F.mul(u1, i)
+    x3 = F.sub(F.sub(F.square(r_), j), F.double(v))
+    y3 = F.sub(F.mul(r_, F.sub(v, x3)), F.double(F.mul(s1, j)))
+    z3 = F.mul(F.sub(F.sub(F.square(F.add(z1, z2)), z1z1), z2z2), h)
+    added = (x3, y3, z3)
+
+    doubled = jacobian_double(F, p1)
+
+    # case selection (order matters: identity cases first)
+    same_x_same_y = jnp.logical_and(h_zero, r_zero)
+    same_x_diff_y = jnp.logical_and(h_zero, jnp.logical_not(r_zero))
+
+    sel = lambda m, a, b: tuple(F.select(m, ca, cb) for ca, cb in zip(a, b))
+    zero_pt = tuple(F.zeros_like(c) for c in added)
+
+    out = sel(same_x_same_y, doubled, added)  # p1 == p2 -> double
+    out = sel(same_x_diff_y, zero_pt, out)  # p1 == -p2 -> infinity
+    out = sel(p2_zero, p1, out)
+    out = sel(p1_zero, p2, out)
+    return out
+
+
+class _BatchGroup:
+    def __init__(self, F, K: FieldKernels, coord_arity: int):
+        self.F = F
+        self.K = K
+        self._arity = coord_arity
+        self.add = jax.jit(lambda p1, p2: jacobian_add(self.F, p1, p2))
+        self.double = jax.jit(lambda p: jacobian_double(self.F, p))
+
+    def is_zero(self, p):
+        return self.F.is_zero(p[2])
+
+
+class G1Batch(_BatchGroup):
+    """Batched G1.  Host bridge: points are reference-style Jacobian int
+    triples (curve.py); device layout is ((32,N),)*3 Montgomery limbs."""
+
+    def __init__(self, K: FieldKernels):
+        super().__init__(BatchFq(K), K, 1)
+
+    def pack(self, points):
+        xs = [p[0] for p in points]
+        ys = [p[1] for p in points]
+        zs = [p[2] for p in points]
+        return (self.K.pack(xs), self.K.pack(ys), self.K.pack(zs))
+
+    def unpack(self, p):
+        xs = self.K.unpack(p[0])
+        ys = self.K.unpack(p[1])
+        zs = self.K.unpack(p[2])
+        return list(zip(xs, ys, zs))
+
+    def zeros(self, n: int):
+        z = self.K.zeros(n)
+        return (z, z, z)
+
+
+class G2Batch(_BatchGroup):
+    """Batched G2 over Fq2.  Device layout: 3 coords x 2 components."""
+
+    def __init__(self, K: FieldKernels):
+        super().__init__(BatchFq2(K), K, 2)
+
+    def pack(self, points):
+        def comp(ci, cj):
+            return self.K.pack([p[ci][cj] for p in points])
+
+        return (
+            (comp(0, 0), comp(0, 1)),
+            (comp(1, 0), comp(1, 1)),
+            (comp(2, 0), comp(2, 1)),
+        )
+
+    def unpack(self, p):
+        c = [[self.K.unpack(p[i][j]) for j in range(2)] for i in range(3)]
+        n = len(c[0][0])
+        return [
+            ((c[0][0][k], c[0][1][k]), (c[1][0][k], c[1][1][k]), (c[2][0][k], c[2][1][k]))
+            for k in range(n)
+        ]
+
+    def zeros(self, n: int):
+        z = self.K.zeros(n)
+        return ((z, z), (z, z), (z, z))

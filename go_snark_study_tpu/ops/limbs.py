@@ -1,0 +1,253 @@
+"""Batched 254-bit modular arithmetic for TPU: 8-bit limbs in int32 lanes.
+
+This is the TPU-native replacement for the reference's ``math/big`` core
+(fields/fq.go) — the layer every hot kernel (NTT butterflies, Jacobian point
+ops, Pippenger MSM) is built on.
+
+Design (why these choices map to TPU hardware):
+
+  * **32 limbs x 8 bits, int32 storage.**  TPUs have no 64-bit integer
+    multiply; 8-bit limb products (<= 255^2 = 65025 < 2^16) accumulate
+    exactly in int32 with huge headroom: a full schoolbook column plus the
+    Montgomery-reduction column tops out near 2^22, so the whole
+    multiply+reduce runs carry-free until one final normalisation pass.
+  * **Limbs-first layout ``(L, N)``** — limb index on sublanes, batch on the
+    128-wide lane dimension, so every per-limb operation is a full-width VPU
+    vector op and the sequential carry/REDC chains are chains of *row*
+    operations, each (N,)-wide.
+  * **Montgomery domain** (R = 2^256): products cost one schoolbook pass
+    (32 row-MACs of shape (32, N)) + one REDC pass (32 steps, one row-MAC
+    each) + carry normalisation.  No trial division, no wide compares.
+  * Everything is pure jnp (int32) — bit-exact on CPU and TPU backends; a
+    fused Pallas kernel with VMEM-resident accumulators is layered on top in
+    :mod:`go_snark_study_tpu.ops.pallas_field` for the large-batch path.
+
+Host bridge: ``pack``/``unpack`` convert python-int vectors <-> limb arrays
+via numpy byte views (no per-limb python loops).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["LIMBS", "LIMB_BITS", "FieldKernels"]
+
+LIMBS = 32
+LIMB_BITS = 8
+MASK = (1 << LIMB_BITS) - 1
+
+
+def _int_to_limbs(x: int) -> np.ndarray:
+    return np.frombuffer(int(x).to_bytes(LIMBS, "little"), dtype=np.uint8).astype(
+        np.int32
+    )
+
+
+class FieldKernels:
+    """Batched kernels for one prime modulus p < 2^255.
+
+    All element arrays have shape ``(32, N)`` int32 with canonical 8-bit limbs
+    in the Montgomery domain unless stated otherwise.  N (the lane/batch dim)
+    should be a multiple of 128 for full VPU utilisation but any N works.
+    """
+
+    def __init__(self, p: int):
+        assert p % 2 == 1 and p.bit_length() <= 255
+        self.p = p
+        self.R = (1 << (LIMBS * LIMB_BITS)) % p
+        self.R2 = self.R * self.R % p
+        self.n0 = (-pow(p, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
+        # IMPORTANT: trace-captured constants are kept as NUMPY arrays.  A
+        # captured jax.Array constant forces a device read during lowering
+        # (mlir ir_constant -> array._value), which can block for minutes
+        # under the axon/TPU plugin; numpy constants fold in host memory.
+        _pl = _int_to_limbs(p)
+        self.p_limbs = _pl  # (32,) np.int32
+        self.p0 = int(_pl[0])
+        self.r2_limbs = _int_to_limbs(self.R2)
+        self.one_mont = _int_to_limbs(self.R)  # 1 in Mont domain
+        # exponent bits for Fermat inversion, LSB first
+        e = p - 2
+        self._inv_bits = np.asarray(
+            [(e >> i) & 1 for i in range(e.bit_length())], dtype=np.int32
+        )
+        # jit the public ops (shapes cache per batch size); the _impl
+        # versions stay available for tracing inside larger jitted programs.
+        self.add = jax.jit(self._add_impl)
+        self.sub = jax.jit(self._sub_impl)
+        self.neg = jax.jit(self._neg_impl)
+        self.double = jax.jit(self._double_impl)
+        self.mul = jax.jit(self._mul_impl)
+        self.square = jax.jit(self._square_impl)
+        self.mul_const = jax.jit(self._mul_const_impl)
+        self.to_mont = jax.jit(self._to_mont_impl)
+        self.from_mont = jax.jit(self._from_mont_impl)
+        self.inverse = jax.jit(self._inverse_impl)
+
+    # ------------------------------------------------------------------
+    # host <-> device
+    # ------------------------------------------------------------------
+    def pack_np(self, xs: Sequence[int], mont: bool = True) -> np.ndarray:
+        """python ints -> (32, N) numpy limb array.  Use THIS form for values
+        captured as constants inside jitted closures (twiddles, generator
+        tables): numpy constants lower without device reads."""
+        if mont:
+            p, R = self.p, self.R
+            xs = [x % p * R % p for x in xs]
+        else:
+            xs = [x % self.p for x in xs]
+        buf = b"".join(int(x).to_bytes(LIMBS, "little") for x in xs)
+        arr = np.frombuffer(buf, dtype=np.uint8).reshape(len(xs), LIMBS)
+        return arr.T.astype(np.int32)
+
+    def pack(self, xs: Sequence[int], mont: bool = True) -> jnp.ndarray:
+        """python ints -> (32, N) device limb array (Montgomery by default)."""
+        return jnp.asarray(self.pack_np(xs, mont=mont))
+
+    def unpack(self, arr, mont: bool = True) -> List[int]:
+        """(32, N) limb array -> python ints (out of Montgomery domain)."""
+        a = np.asarray(arr).astype(np.uint8).T.copy()  # (N, 32)
+        out = [int.from_bytes(row.tobytes(), "little") for row in a]
+        if mont:
+            rinv = pow(self.R, -1, self.p)
+            out = [x * rinv % self.p for x in out]
+        return out
+
+    # ------------------------------------------------------------------
+    # normalisation helpers (pure functions of (32,N) / (64,N) arrays)
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _carry(rows: jnp.ndarray) -> jnp.ndarray:
+        """Sequential carry propagation over the limb axis.  Accepts signed
+        lazy columns; ``& MASK`` / arithmetic ``>> 8`` handle borrows
+        correctly in two's complement.  The final carry must be zero by the
+        caller's range invariant (asserted in tests, not at runtime).
+
+        A lax.scan over the limb rows (NOT an unrolled chain): compile time
+        must stay flat no matter how many kernel call sites a composite graph
+        has — a batched point-add contains ~25 of these."""
+
+        def body(c, row):
+            v = row + c
+            return v >> LIMB_BITS, v & MASK
+
+        _, out = jax.lax.scan(body, jnp.zeros(rows.shape[1:], jnp.int32), rows)
+        return out
+
+    def _cond_sub_p(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x in [0, 2p) canonical limbs -> x mod p."""
+        d = x - self.p_limbs[:, None]
+
+        def body(c, row):
+            v = row + c
+            return v >> LIMB_BITS, v & MASK
+
+        c, y = jax.lax.scan(body, jnp.zeros(x.shape[1:], jnp.int32), d)
+        ge = c == 0  # no final borrow => x >= p
+        return jnp.where(ge[None, :], y, x)
+
+    # ------------------------------------------------------------------
+    # arithmetic
+    # ------------------------------------------------------------------
+    def _add_impl(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        return self._cond_sub_p(self._carry(a + b))
+
+    def _sub_impl(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        return self._cond_sub_p(self._carry(a - b + self.p_limbs[:, None]))
+
+    def _neg_impl(self, a: jnp.ndarray) -> jnp.ndarray:
+        z = jnp.zeros_like(a)
+        return jnp.where(self.is_zero(a)[None, :], z, self._cond_sub_p(self._carry(self.p_limbs[:, None] - a)))
+
+    def _double_impl(self, a: jnp.ndarray) -> jnp.ndarray:
+        return self._add_impl(a, a)
+
+    def _mul_impl(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """Montgomery product  a*b*R^-1 mod p  — CIOS (coarsely integrated
+        operand scanning) with lazy int32 columns.
+
+        One ``lax.scan`` over a's limb rows; per step: accumulate a_i * b,
+        compute the Montgomery quotient digit m from the bottom column, add
+        m * p, then shift the accumulator down one limb.  Every slice is at a
+        static offset (scan-friendly: no dynamic-update-slice copies, tiny
+        trace regardless of how many muls a composite graph contains).
+
+        Column bound: a row lives <= 32 steps, gaining <= 255^2 from each MAC
+        pair per step -> < 2^23, far inside int32.  After the scan the lazy
+        rows represent a value < 2p; one carry pass + conditional subtract
+        canonicalises."""
+        n = a.shape[1]
+        p_col = self.p_limbs[:, None]  # (32, 1)
+
+        def step(acc, a_i):
+            acc = acc + a_i[None, :] * b
+            t = acc[0]
+            m = ((t & MASK) * self.n0) & MASK
+            acc = acc + m[None, :] * p_col
+            carry = acc[0] >> LIMB_BITS  # bottom column is now 0 mod 256
+            acc = jnp.concatenate([acc[1:], jnp.zeros((1, n), jnp.int32)])
+            acc = acc.at[0].add(carry)
+            return acc, None
+
+        acc, _ = jax.lax.scan(step, jnp.zeros((LIMBS, n), jnp.int32), a)
+        return self._cond_sub_p(self._carry(acc))
+
+    def _square_impl(self, a: jnp.ndarray) -> jnp.ndarray:
+        return self._mul_impl(a, a)
+
+    def _mul_const_impl(self, a: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+        """a * k where k is a single element ((32,) or (32,1) limbs)."""
+        k = k.reshape(LIMBS, 1)
+        return self._mul_impl(a, jnp.broadcast_to(k, a.shape))
+
+    # ------------------------------------------------------------------
+    # domain conversion / predicates / constants
+    # ------------------------------------------------------------------
+    def _to_mont_impl(self, x: jnp.ndarray) -> jnp.ndarray:
+        r2 = jnp.broadcast_to(self.r2_limbs[:, None], x.shape)
+        return self._mul_impl(x, r2)
+
+    def _from_mont_impl(self, x: jnp.ndarray) -> jnp.ndarray:
+        one = jnp.zeros_like(x).at[0].set(1)
+        return self._mul_impl(x, one)
+
+    def is_zero(self, a: jnp.ndarray) -> jnp.ndarray:
+        return jnp.all(a == 0, axis=0)
+
+    def equal(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        return jnp.all(a == b, axis=0)
+
+    def zeros(self, n: int) -> jnp.ndarray:
+        return jnp.zeros((LIMBS, n), dtype=jnp.int32)
+
+    def ones_mont(self, n: int) -> jnp.ndarray:
+        return jnp.broadcast_to(self.one_mont[:, None], (LIMBS, n)).astype(jnp.int32)
+
+    # ------------------------------------------------------------------
+    # inversion (Fermat) — used for batched affine conversion on-device
+    # ------------------------------------------------------------------
+    def _inverse_impl(self, a: jnp.ndarray) -> jnp.ndarray:
+        """a^(p-2) (Fermat).  Structured as a fori_loop over the exponent's
+        bits so the trace stays small (one square + one select-multiply);
+        runtime ~2*254 Montgomery muls per batch — use for batched affine
+        conversion, not single elements (host inversion wins there)."""
+        nbits = int(self._inv_bits.shape[0])
+
+        inv_bits = jnp.asarray(self._inv_bits)
+
+        def body(i, carry):
+            acc, base = carry
+            bit = inv_bits[i]
+            mul_acc = self._mul_impl(acc, base)
+            acc = jnp.where(bit != 0, mul_acc, acc)
+            base = self._mul_impl(base, base)
+            return acc, base
+
+        acc0 = self.ones_mont(a.shape[1])
+        acc, _ = jax.lax.fori_loop(0, nbits, body, (acc0, a))
+        return acc

@@ -1,0 +1,18 @@
+"""Multi-chip scaling: device meshes, sharded MSM, four-step sharded NTT.
+
+The reference has no distributed backend at all (SURVEY §2.9, §5.8); this
+package is its TPU-native counterpart, built on ``jax.sharding.Mesh`` +
+``shard_map`` with XLA collectives riding ICI:
+
+  mesh.py          mesh construction helpers (works on 1..N real chips and on
+                   the 8-virtual-device CPU test harness)
+  sharded_msm.py   data-parallel Pippenger: points sharded over the mesh,
+                   per-shard bucket accumulation, window sums combined with
+                   all_gather + tree point-adds
+  sharded_ntt.py   four-step NTT: local column transforms, twiddle scaling,
+                   all_to_all transpose, local row transforms
+"""
+
+from .mesh import data_mesh
+
+__all__ = ["data_mesh"]

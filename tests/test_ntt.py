@@ -1,0 +1,75 @@
+"""NTT tests vs direct-evaluation oracle over Fr."""
+
+import random
+
+import pytest
+
+from go_snark_study_tpu.bn128 import constants as C
+from go_snark_study_tpu.ops.ntt import NTTEngine
+
+R = C.R
+
+
+@pytest.fixture(scope="module")
+def eng():
+    return NTTEngine()
+
+
+def _direct_dft(coeffs, w, r):
+    n = len(coeffs)
+    return [
+        sum(c * pow(w, i * j, r) for j, c in enumerate(coeffs)) % r for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("n", [8, 64, 256])
+def test_forward_matches_direct_dft(eng, n):
+    rng = random.Random(n)
+    coeffs = [rng.randrange(R) for _ in range(n)]
+    w = eng.root_of_unity(n)
+    assert pow(w, n, R) == 1 and pow(w, n // 2, R) != 1
+    got = eng.ntt_ints(coeffs)
+    assert got == _direct_dft(coeffs, w, R)
+
+
+@pytest.mark.parametrize("n", [8, 128])
+def test_roundtrip(eng, n):
+    rng = random.Random(7 * n)
+    coeffs = [rng.randrange(R) for _ in range(n)]
+    assert eng.intt_ints(eng.ntt_ints(coeffs)) == coeffs
+
+
+def test_poly_mul_via_ntt_matches_host(eng):
+    from go_snark_study_tpu.fields import Fq
+    from go_snark_study_tpu.r1csqap import PolynomialField
+
+    rng = random.Random(99)
+    pf = PolynomialField(Fq(R))
+    a = [rng.randrange(R) for _ in range(60)]
+    b = [rng.randrange(R) for _ in range(50)]
+    want = pf.mul(a, b)
+
+    n = 128  # >= len(a)+len(b)-1
+    fa = eng.ntt_ints(a + [0] * (n - len(a)))
+    fb = eng.ntt_ints(b + [0] * (n - len(b)))
+    prod_evals = [x * y % R for x, y in zip(fa, fb)]
+    got = eng.intt_ints(prod_evals)[: len(want)]
+    assert got == want
+
+
+def test_coset_vanishing_is_constant(eng):
+    # Z(x) = x^n - 1 evaluated on the coset gH is the constant g^n - 1
+    n = 16
+    g = 5
+    w = eng.root_of_unity(n)
+    vals = {(pow(g * pow(w, i, R), n, R) - 1) % R for i in range(n)}
+    assert vals == {(pow(g, n, R) - 1) % R}
+
+
+def test_coset_shift_roundtrip(eng):
+    rng = random.Random(3)
+    n = 64
+    coeffs = [rng.randrange(R) for _ in range(n)]
+    x = eng.K.pack(coeffs)
+    y = eng.coset_shift(eng.coset_shift(x, g=5), g=5, inverse=True)
+    assert eng.K.unpack(y) == coeffs
