@@ -104,6 +104,29 @@ def main():
     log(f"MSM 2^{n_points.bit_length()-1} G1: {msm_dev_s*1e3:.1f} ms "
         f"({msm_pts_per_s:.0f} pts/s) correct={ok}")
 
+    # ---------------- end-to-end fast Groth16 prove ----------------
+    from go_snark_study_tpu.models import groth16 as g16m
+    from go_snark_study_tpu.models.groth16_fast import FastGroth16
+    from go_snark_study_tpu.synthetic import mul_chain_r1cs
+
+    n_cons = int(os.environ.get("GOSNARK_BENCH_PROVE", 1 << 12))
+    r1cs = mul_chain_r1cs(n_cons, seed=1)
+    fast = FastGroth16()
+    t0 = time.time()
+    fsetup = fast.setup(r1cs, rng=random.Random(1))
+    t_setup = time.time() - t0
+    t0 = time.time()
+    fproof = fast.prove(r1cs, fsetup.pk, rng=random.Random(2))
+    t_prove_cold = time.time() - t0
+    t0 = time.time()
+    fproof = fast.prove(r1cs, fsetup.pk, rng=random.Random(3))
+    t_prove = time.time() - t0
+    ver_ok = g16m.verify_proof(fsetup.vk, fproof, r1cs.witness[1:2])
+    log(
+        f"groth16-fast 2^{n_cons.bit_length()-1} constraints: setup {t_setup:.1f}s, "
+        f"prove {t_prove:.2f}s (cold {t_prove_cold:.1f}s), verified={ver_ok}"
+    )
+
     # ---------------- serial baseline (reference-equivalent) ----------------
     sample = 8
     t0 = time.time()
@@ -113,10 +136,10 @@ def main():
     serial_pts_per_s = sample / (time.time() - t0)
     log(f"serial host MSM baseline: {serial_pts_per_s:.1f} pts/s")
 
-    if not ok:
+    if not ok or not ver_ok:
         print(json.dumps({"metric": "msm_g1_points_per_sec", "value": 0,
                           "unit": "points/s", "vs_baseline": 0,
-                          "error": "MSM result mismatch"}))
+                          "error": "correctness check failed"}))
         return
 
     result = {
@@ -124,6 +147,12 @@ def main():
         "value": round(msm_pts_per_s, 1),
         "unit": "points/s",
         "vs_baseline": round(msm_pts_per_s / serial_pts_per_s, 2),
+        "sub": {
+            "modmul_mps": round(modmul_per_s / 1e6, 1),
+            f"ntt_2^{nd.bit_length()-1}_ms": round(ntt_ms, 1),
+            f"groth16_prove_2^{n_cons.bit_length()-1}_s": round(t_prove, 2),
+            "groth16_setup_s": round(t_setup, 1),
+        },
     }
     log(f"total bench wall time: {time.time()-t_start:.1f}s")
     print(json.dumps(result))

@@ -55,6 +55,14 @@ class _JacobianGroup:
         s1 = F.mul(y1, F.mul(z2, z2z2))
         s2 = F.mul(y2, F.mul(z1, z1z1))
         h = F.sub(u2, u1)
+        # complete group law: the reference's Add silently returns garbage
+        # for p1 == +-p2 (add-2007-bl degenerates at h == 0; unreachable in
+        # the reference's serial double-and-add but reachable in batch/table
+        # construction) — route to double / identity instead.
+        if F.is_zero(h):
+            if F.is_zero(F.sub(s2, s1)):
+                return self.double(p1)
+            return self.zero()
         i = F.square(F.add(h, h))
         j = F.mul(h, i)
         r = F.double(F.sub(s2, s1))

@@ -83,6 +83,8 @@ class FieldKernels:
         self.neg = jax.jit(self._neg_impl)
         self.double = jax.jit(self._double_impl)
         self.mul = jax.jit(self._mul_impl)
+        self._use_pallas_cached = None  # lazily resolved (backend-dependent)
+        self._pallas_muls = {}
         self.square = jax.jit(self._square_impl)
         self.mul_const = jax.jit(self._mul_const_impl)
         self.to_mont = jax.jit(self._to_mont_impl)
@@ -167,7 +169,50 @@ class FieldKernels:
     def _double_impl(self, a: jnp.ndarray) -> jnp.ndarray:
         return self._add_impl(a, a)
 
+    # -- Pallas fast path ---------------------------------------------------
+    def _use_pallas(self) -> bool:
+        if self._use_pallas_cached is None:
+            import os
+
+            flag = os.environ.get("GOSNARK_PALLAS", "auto")
+            if flag in ("0", "false"):
+                self._use_pallas_cached = False
+            elif flag in ("1", "true"):
+                self._use_pallas_cached = True
+            else:
+                try:
+                    self._use_pallas_cached = jax.default_backend() in ("tpu", "axon")
+                except Exception:
+                    self._use_pallas_cached = False
+        return self._use_pallas_cached
+
+    def _pallas_for(self, n: int):
+        """Fused Pallas multiplier for batch n, or None (fallback to the
+        XLA scan — bit-identical results either way)."""
+        if n < 128 or not self._use_pallas():
+            return None
+        for tile in (512, 256, 128):
+            if n % tile == 0:
+                key = tile
+                if key not in self._pallas_muls:
+                    from .pallas_field import make_pallas_mont_mul
+
+                    self._pallas_muls[key] = make_pallas_mont_mul(self.p, tile)
+                return self._pallas_muls[key]
+        return None
+
     def _mul_impl(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """Montgomery product  a*b*R^-1 mod p.
+
+        On TPU backends, batches that tile into 128-lane blocks dispatch to
+        the fused Pallas kernel (:mod:`.pallas_field`); everything else uses
+        the XLA CIOS scan below.  Both produce identical bits."""
+        pmul = self._pallas_for(a.shape[1])
+        if pmul is not None:
+            return pmul(a, b)
+        return self._mul_xla(a, b)
+
+    def _mul_xla(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """Montgomery product  a*b*R^-1 mod p  — CIOS (coarsely integrated
         operand scanning) with lazy int32 columns.
 
