@@ -26,3 +26,24 @@ Package map (SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: the kernel graphs (MSM, NTT, point ops)
+# are compiled per (shape, backend) and dominate cold-start latency; caching
+# them on disk makes repeat processes start in seconds.
+def _enable_compile_cache() -> None:
+    import os
+
+    path = os.environ.get(
+        "GOSNARK_JAX_CACHE", os.path.expanduser("~/.cache/gosnark_jax_cache")
+    )
+    try:
+        os.makedirs(path, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()

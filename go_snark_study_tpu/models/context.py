@@ -39,9 +39,13 @@ class ProtocolContext:
 
     # -- multi-scalar multiplication ---------------------------------------
     def msm_g1(self, points: Sequence, scalars: Sequence[int]):
-        """Σ scalars[i] * points[i] over G1 (Jacobian int triples)."""
-        if self._msm_g1_backend is not None and len(points) >= 8:
-            return self._msm_g1_backend(points, scalars)
+        """Σ scalars[i] * points[i] over G1 (Jacobian int triples).  A
+        backend may return None to decline (e.g. batch too small), in which
+        case the host loop runs."""
+        if self._msm_g1_backend is not None:
+            out = self._msm_g1_backend(points, scalars)
+            if out is not None:
+                return out
         g1 = self.bn.g1
         acc = g1.zero()
         for p, s in zip(points, scalars):
@@ -50,8 +54,10 @@ class ProtocolContext:
 
     def msm_g2(self, points: Sequence, scalars: Sequence[int]):
         """Σ scalars[i] * points[i] over G2 (Jacobian Fq2 triples)."""
-        if self._msm_g2_backend is not None and len(points) >= 8:
-            return self._msm_g2_backend(points, scalars)
+        if self._msm_g2_backend is not None:
+            out = self._msm_g2_backend(points, scalars)
+            if out is not None:
+                return out
         g2 = self.bn.g2
         acc = g2.zero()
         for p, s in zip(points, scalars):

@@ -94,10 +94,26 @@ class FieldKernels:
     # ------------------------------------------------------------------
     # host <-> device
     # ------------------------------------------------------------------
+    def _native(self):
+        """Lazily bind the C++ host runtime for conversions (optional)."""
+        if not hasattr(self, "_native_field"):
+            self._native_field = None
+            try:
+                from .. import native
+
+                if native.available():
+                    self._native_field = native.NativeField(self.p)
+            except Exception:
+                pass
+        return self._native_field
+
     def pack_np(self, xs: Sequence[int], mont: bool = True) -> np.ndarray:
         """python ints -> (32, N) numpy limb array.  Use THIS form for values
         captured as constants inside jitted closures (twiddles, generator
         tables): numpy constants lower without device reads."""
+        nf = self._native()
+        if nf is not None:
+            return nf.pack_ints([int(x) for x in xs], mont=mont)
         if mont:
             p, R = self.p, self.R
             xs = [x % p * R % p for x in xs]
@@ -113,6 +129,9 @@ class FieldKernels:
 
     def unpack(self, arr, mont: bool = True) -> List[int]:
         """(32, N) limb array -> python ints (out of Montgomery domain)."""
+        nf = self._native()
+        if nf is not None:
+            return nf.unpack_ints(np.asarray(arr), mont=mont)
         a = np.asarray(arr).astype(np.uint8).T.copy()  # (N, 32)
         out = [int.from_bytes(row.tobytes(), "little") for row in a]
         if mont:

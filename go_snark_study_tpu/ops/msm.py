@@ -60,26 +60,30 @@ class MSMEngine:
     """MSM over one group (G1Batch or G2Batch) with its host group for the
     final exact combination step."""
 
-    def __init__(self, batch_group, host_group, scalar_modulus: int):
+    def __init__(
+        self,
+        batch_group,
+        host_group,
+        scalar_modulus: int,
+        tile_threshold: int = 8192,
+        tile_steps: int = 64,
+    ):
         self.bg = batch_group
         self.host_group = host_group
         self.r = scalar_modulus
+        self.tile_threshold = tile_threshold
+        self.tile_steps = tile_steps
         self._window_sums_jit = jax.jit(self._window_sums)
 
     # ------------------------------------------------------------------
     # device pipeline
     # ------------------------------------------------------------------
-    def _segmented_bucket_sums(self, points, digits):
-        """points: pytree of (32, N) coords; digits: (N,) int32 bucket ids.
-        Sort-by-digit + segmented Hillis-Steele scan; returns the per-bucket
-        run sums as a pytree with leaves (32, NUM_BUCKETS)."""
-        n = digits.shape[0]
+    def _seg_scan_runs(self, sorted_points, sdig):
+        """Segmented Hillis-Steele inclusive scan over contiguous runs of
+        equal ``sdig``; negative digits are sentinels (still scanned, but
+        excluded from buckets later).  Returns scanned points."""
+        n = sdig.shape[0]
         F = self.bg.F
-
-        order = jnp.argsort(digits)
-        sdig = digits[order]
-        acc = _tree_map_point(lambda c: c[:, order], points)
-
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)[0]
         steps = max(1, (n - 1).bit_length())
 
@@ -93,17 +97,94 @@ class MSMEngine:
                 lambda s_, a_: jnp.where(same[None, :], s_, a_), summed, acc
             )
 
-        acc = jax.lax.fori_loop(0, steps, scan_step, acc)
+        return jax.lax.fori_loop(0, steps, scan_step, sorted_points)
 
-        # tail of each run holds the bucket sum; dummies land in slot 256
+    @staticmethod
+    def _runs_to_buckets(acc, sdig):
+        """Scatter each run's tail element into its bucket slot."""
         nxt = jnp.concatenate([sdig[1:], jnp.full((1,), -2, dtype=sdig.dtype)])
-        slot = jnp.where(sdig != nxt, sdig, NUM_BUCKETS)
+        is_last = jnp.logical_and(sdig != nxt, sdig >= 0)
+        slot = jnp.where(is_last, sdig, NUM_BUCKETS)
         return _tree_map_point(
             lambda c: jnp.zeros((c.shape[0], NUM_BUCKETS + 1), c.dtype)
             .at[:, slot]
             .set(c)[:, :NUM_BUCKETS],
             acc,
         )
+
+    def _segmented_bucket_sums(self, points, digits):
+        """points: pytree of (32, N) coords; digits: (N,) int32 bucket ids.
+        Returns per-bucket sums as a pytree with leaves (32, NUM_BUCKETS).
+
+        Small N: sort + one segmented scan (N log N adds).  Large N: the
+        TILED variant — split the sorted stream into tiles of K elements,
+        serially accumulate within tiles (K steps of N/K-wide adds = N adds
+        total), compact the per-tile run partials (at most 256 + N/K of
+        them), and run the log-scan only on that small compacted stream.
+        This cuts per-window work from ~log2(N)·N to ~N point adds."""
+        n = digits.shape[0]
+        order = jnp.argsort(digits)
+        sdig = digits[order]
+        spts = _tree_map_point(lambda c: c[:, order], points)
+
+        K = self.tile_steps
+        if n < self.tile_threshold or n % K:
+            acc = self._seg_scan_runs(spts, sdig)
+            return self._runs_to_buckets(acc, sdig)
+
+        F = self.bg.F
+        m = n // K  # tiles = lanes of the serial pass
+        sd = sdig.reshape(m, K)  # tile t, step j = sorted[t*K + j]
+        steps_dig = jnp.transpose(sd)  # (K, m)
+        steps_pts = _tree_map_point(
+            lambda c: jnp.transpose(c.reshape(c.shape[0], m, K), (2, 0, 1)), spts
+        )  # leaves (K, 32, m)
+
+        zero_pt = self.bg.zeros(m)
+
+        def tile_step(carry, xs):
+            acc, prev_dig, j = carry
+            dig, pt = xs
+            boundary_in = jnp.logical_or(j == 0, dig != prev_dig)
+            added = jacobian_add(F, acc, pt)
+            acc = _tree_map_point(
+                lambda p_, a_: jnp.where(boundary_in[None, :], p_, a_), pt, added
+            )
+            # closed if the NEXT element (step j+1) starts a new run; emit now
+            return (acc, dig, j + 1), (acc, dig)
+
+        (acc, _, _), (accs, digs) = jax.lax.scan(
+            tile_step,
+            (zero_pt, jnp.full((m,), -9, jnp.int32), jnp.int32(0)),
+            (steps_dig, steps_pts),
+        )
+        # an emitted (acc, dig) at step j is a FINAL partial iff step j+1
+        # opens a new run or j == K-1
+        nxt_dig = jnp.concatenate([steps_dig[1:], jnp.full((1, m), -8, jnp.int32)])
+        closed = nxt_dig != steps_dig  # (K, m)
+
+        # flatten back to sorted-stream order: (K, m) -> (m, K) -> (n,)
+        flat_closed = jnp.transpose(closed).reshape(n)
+        flat_dig = jnp.where(flat_closed, jnp.transpose(digs).reshape(n), -1)
+        flat_pts = _tree_map_point(
+            lambda c: jnp.transpose(c, (1, 2, 0)).reshape(c.shape[1], n), accs
+        )
+
+        # compact the partials (order-preserving): at most 256 + m of them
+        p_cap = NUM_BUCKETS + m
+        p_cap += (-p_cap) % 128
+        pos = jnp.cumsum(flat_closed.astype(jnp.int32)) - 1
+        idx = jnp.where(flat_closed, pos, p_cap)
+        comp_dig = jnp.full((p_cap + 1,), -3, jnp.int32).at[idx].set(flat_dig)[:p_cap]
+        comp_pts = _tree_map_point(
+            lambda c: jnp.zeros((c.shape[0], p_cap + 1), c.dtype)
+            .at[:, idx]
+            .set(c)[:, :p_cap],
+            flat_pts,
+        )
+
+        acc2 = self._seg_scan_runs(comp_pts, comp_dig)
+        return self._runs_to_buckets(acc2, comp_dig)
 
     def _window_sums(self, points, windows):
         """points: batched point pytree (N lanes); windows: (W, N) digits.

@@ -21,6 +21,17 @@ from .bn128.constants import R as FR_MOD
 
 __all__ = ["SparseR1CS", "mul_chain_r1cs"]
 
+_NATIVE_FR = None
+
+
+def _native_fr():
+    global _NATIVE_FR
+    if _NATIVE_FR is None:
+        from . import native
+
+        _NATIVE_FR = native.NativeField(FR_MOD)
+    return _NATIVE_FR
+
 
 @dataclass
 class SparseR1CS:
@@ -48,7 +59,34 @@ class SparseR1CS:
 
     def row_evals(self, r: int = FR_MOD) -> Tuple[List[int], List[int], List[int]]:
         """Witness-combined evaluations per constraint: (a_j, b_j, c_j) with
-        a_j = <A_j, w> etc. — the evaluation-form inputs of the fast prover."""
+        a_j = <A_j, w> etc. — the evaluation-form inputs of the fast prover.
+        Uses the native C++ sparse matvec when built."""
+        try:
+            from . import native
+
+            if r == FR_MOD and native.available():
+                import numpy as np
+
+                nf = _native_fr()
+                out = []
+                for rows in (self.A, self.B, self.C):
+                    indptr, cols, vals = [0], [], []
+                    for row in rows:
+                        for i, v in row.items():
+                            cols.append(i)
+                            vals.append(v)
+                        indptr.append(len(cols))
+                    out.append(
+                        nf.sparse_matvec(
+                            np.asarray(indptr, dtype=np.int64),
+                            np.asarray(cols, dtype=np.int64),
+                            np.asarray(vals, dtype=np.int64),
+                            self.witness,
+                        )
+                    )
+                return tuple(out)  # type: ignore[return-value]
+        except Exception:
+            pass
         w = self.witness
         dot = lambda row: sum(c * w[i] for i, c in row.items()) % r
         return (
