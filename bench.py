@@ -77,7 +77,7 @@ def main():
     log(f"NTT 2^{nd.bit_length()-1} forward: {ntt_ms:.1f} ms")
 
     # ---------------- MSM ----------------
-    n_points = int(os.environ.get("GOSNARK_BENCH_MSM", 1 << 14))
+    n_points = int(os.environ.get("GOSNARK_BENCH_MSM", 1 << 16))
     g1b = G1Batch(Kq)
     msm = MSMEngine(g1b, bn.g1, C.R)
     scalars = [rng.randrange(C.R) for _ in range(n_points)]

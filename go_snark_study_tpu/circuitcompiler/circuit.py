@@ -193,6 +193,11 @@ class Circuit:
         for i, x in enumerate(private_inputs):
             w[i + len(public_inputs) + 1] = x
         m = field_modulus
+        if m is not None and len(self.constraints) >= 256:
+            native_w = self._witness_native(w, m)
+            if native_w is not None:
+                self.witness = native_w
+                return native_w
         for cons in self.constraints:
             if cons.op == "in":
                 continue
@@ -216,3 +221,34 @@ class Circuit:
             w[self._signal_index(cons.out)] = r
         self.witness = w
         return w
+
+    def _witness_native(self, seeded: List[int], modulus: int) -> Optional[List[int]]:
+        """Field-mode witness evaluation via the C++ runtime (None if the
+        library isn't available — caller falls back to python)."""
+        try:
+            import numpy as np
+
+            from .. import native
+
+            if not native.available():
+                return None
+            OPS = {"+": 0, "-": 1, "*": 2, "/": 3, "in": 4}
+            sig_idx = {s: i for i, s in enumerate(self.signals)}
+            rows = []
+            for cons in self.constraints:
+                if cons.op not in OPS:
+                    continue
+                enc = [OPS[cons.op], 0, 0, 0, 0, 0, 0]
+                if cons.op != "in":
+                    for slot, name in ((1, cons.v1), (3, cons.v2)):
+                        val = _is_value(name)
+                        if val is not None:
+                            enc[slot], enc[slot + 1] = 0, val
+                        else:
+                            enc[slot], enc[slot + 1] = 1, sig_idx[name]
+                    enc[5] = sig_idx[cons.out]
+                rows.append(enc)
+            nf = native.NativeField(modulus)
+            return nf.witness_eval(np.asarray(rows, dtype=np.int64), seeded)
+        except Exception:
+            return None

@@ -50,5 +50,29 @@ def enable_tpu_msm(mesh=None, min_size: int = 64) -> None:
     set_msm_backend(g1_backend, g2_backend)
 
 
+def enable_tpu_setup(min_size: int = 64) -> None:
+    """Route the trusted setups' fixed-base commitment batches through the
+    TPU windowed engine (:mod:`..ops.fixed_base`)."""
+    from ..ops.curve_ops import G1Batch, G2Batch
+    from ..ops.fixed_base import FixedBaseEngine
+
+    ctx = default_context()
+    if "fb" not in _ENGINES:
+        Kq = fq_kernels()
+        _ENGINES["fb"] = (
+            FixedBaseEngine(G1Batch(Kq), ctx.bn.g1, ctx.bn.g1.g, C.R),
+            FixedBaseEngine(G2Batch(Kq), ctx.bn.g2, ctx.bn.g2.g, C.R),
+        )
+    fb1, fb2 = _ENGINES["fb"]
+    ctx._batch_g1_backend = lambda s: fb1.batch_mul(s) if len(s) >= min_size else None
+    ctx._batch_g2_backend = lambda s: fb2.batch_mul(s) if len(s) >= min_size else None
+
+
+def disable_tpu_setup() -> None:
+    ctx = default_context()
+    ctx._batch_g1_backend = None
+    ctx._batch_g2_backend = None
+
+
 def disable_tpu_msm() -> None:
     set_msm_backend(None, None)

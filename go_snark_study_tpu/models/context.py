@@ -30,6 +30,9 @@ class ProtocolContext:
         # hooks; signature: (points, scalars) -> point.  None = host loop.
         self._msm_g1_backend: Optional[Callable] = None
         self._msm_g2_backend: Optional[Callable] = None
+        # fixed-base batch hooks; signature: (scalars) -> [points]
+        self._batch_g1_backend: Optional[Callable] = None
+        self._batch_g2_backend: Optional[Callable] = None
 
     # -- randomness (seedable for deterministic parity tests) --------------
     def rand_fr(self, rng=None) -> int:
@@ -63,6 +66,25 @@ class ProtocolContext:
         for p, s in zip(points, scalars):
             acc = g2.add(acc, g2.mul_scalar(p, s))
         return acc
+
+
+    # -- batched fixed-base scalar mul (setup commitments) ------------------
+    def batch_g1(self, scalars: Sequence[int]):
+        """[k_i] -> [k_i * G1] (generator fixed base)."""
+        if self._batch_g1_backend is not None:
+            out = self._batch_g1_backend(scalars)
+            if out is not None:
+                return out
+        g1 = self.bn.g1
+        return [g1.mul_scalar(g1.g, s) for s in scalars]
+
+    def batch_g2(self, scalars: Sequence[int]):
+        if self._batch_g2_backend is not None:
+            out = self._batch_g2_backend(scalars)
+            if out is not None:
+                return out
+        g2 = self.bn.g2
+        return [g2.mul_scalar(g2.g, s) for s in scalars]
 
 
 _DEFAULT: Optional[ProtocolContext] = None

@@ -141,13 +141,13 @@ def generate_trusted_setup(
 
     # powers of tau * Z(tau)/delta in G1 (groth16.go:139-149).  NB the
     # reference's ladder: entry 0 = Z(t)/delta * G1, entry i>=1 =
-    # t^i * Z(t)/delta * G1.
-    ptd = [g1.mul_scalar(g1.g, zt_inv_delta)]
+    # t^i * Z(t)/delta * G1.  All fixed-base -> batched hook.
+    ladder = [zt_inv_delta]
     t_encr = tox.t
     for _ in range(1, len(pk.z)):
-        ptd.append(g1.mul_scalar(g1.g, fqr.mul(t_encr, zt_inv_delta)))
+        ladder.append(fqr.mul(t_encr, zt_inv_delta))
         t_encr = fqr.mul(t_encr, tox.t)
-    pk.powers_tau_delta = ptd
+    pk.powers_tau_delta = ctx.batch_g1(ladder)
 
     pk.g1.alpha = g1.mul_scalar(g1.g, tox.kalpha)
     pk.g1.beta = g1.mul_scalar(g1.g, tox.kbeta)
@@ -170,34 +170,23 @@ def generate_trusted_setup(
     bts = [pf.eval(betas[i], tox.t) for i in range(len(circuit.signals))]
     cts = [pf.eval(gammas[i], tox.t) for i in range(len(circuit.signals))]
 
-    for i in range(len(circuit.signals)):
-        pk.g1.at.append(g1.mul_scalar(g1.g, ats[i]))
-        pk.g1.bacgamma.append(g1.mul_scalar(g1.g, bts[i]))
-        pk.g2.bacgamma.append(g2.mul_scalar(g2.g, bts[i]))
+    pk.g1.at = ctx.batch_g1(ats)
+    pk.g1.bacgamma = ctx.batch_g1(bts)
+    pk.g2.bacgamma = ctx.batch_g2(bts)
 
-    zero3 = g1.zero()
-    for _ in range(circuit.n_public + 1):
-        pk.bacdelta.append(zero3)
-    for i in range(circuit.n_public + 1, circuit.n_vars):
-        c = fqr.mul(
-            inv_delta,
-            fqr.add(
-                fqr.add(fqr.mul(ats[i], tox.kbeta), fqr.mul(bts[i], tox.kalpha)),
-                cts[i],
-            ),
+    bac = [
+        fqr.add(
+            fqr.add(fqr.mul(ats[i], tox.kbeta), fqr.mul(bts[i], tox.kalpha)),
+            cts[i],
         )
-        pk.bacdelta.append(g1.mul_scalar(g1.g, c))
-
+        for i in range(circuit.n_vars)
+    ]
+    lo = circuit.n_public + 1
+    pk.bacdelta = [g1.zero()] * lo + ctx.batch_g1(
+        [fqr.mul(inv_delta, x) for x in bac[lo:]]
+    )
     inv_gamma = fqr.inverse(tox.kgamma)
-    for i in range(circuit.n_public + 1):
-        ic = fqr.mul(
-            inv_gamma,
-            fqr.add(
-                fqr.add(fqr.mul(ats[i], tox.kbeta), fqr.mul(bts[i], tox.kalpha)),
-                cts[i],
-            ),
-        )
-        vk.ic.append(g1.mul_scalar(g1.g, ic))
+    vk.ic = ctx.batch_g1([fqr.mul(inv_gamma, x) for x in bac[:lo]])
 
     return setup
 

@@ -150,40 +150,35 @@ def generate_trusted_setup(
     vk.g2_kbg = g2.mul_scalar(g2.g, kbg)
     vk.g2_kg = g2.mul_scalar(g2.g, tox.kgamma)
 
-    # per-signal commitments (snark.go:181-218).  Polynomial evaluations are
-    # batched (one Horner pass each) — the reference's O(deg^2) Eval is the
-    # same value.
-    for i in range(len(circuit.signals)):
-        at = pf.eval(alphas[i], tox.t)
-        rho_a_at = fqr.mul(tox.rho_a, at)
-        a = g1.mul_scalar(g1.g, rho_a_at)
-        pk.a.append(a)
-        if i <= circuit.n_public:
-            vk.ic.append(a)
+    # per-signal commitments (snark.go:181-218).  The reference evaluates and
+    # commits one signal at a time with 254-bit double-and-add ladders; here
+    # every commitment is a known-scalar multiple of a generator, so they all
+    # go through the batched fixed-base hook (TPU engine when installed).
+    n_sig = len(circuit.signals)
+    ats = [pf.eval(alphas[i], tox.t) for i in range(n_sig)]
+    bts = [pf.eval(betas[i], tox.t) for i in range(n_sig)]
+    cts = [pf.eval(gammas[i], tox.t) for i in range(n_sig)]
+    ra = [fqr.mul(tox.rho_a, x) for x in ats]
+    rb = [fqr.mul(tox.rho_b, x) for x in bts]
+    rc = [fqr.mul(tox.rho_c, x) for x in cts]
+    kts = [fqr.add(fqr.add(a, b), c) for a, b, c in zip(ra, rb, rc)]
 
-        bt = pf.eval(betas[i], tox.t)
-        rho_b_bt = fqr.mul(tox.rho_b, bt)
-        bg1 = g1.mul_scalar(g1.g, rho_b_bt)
-        bg2 = g2.mul_scalar(g2.g, rho_b_bt)
-        pk.b.append(bg2)
+    pk.a = ctx.batch_g1(ra)
+    bg1s = ctx.batch_g1(rb)
+    pk.b = ctx.batch_g2(rb)
+    pk.c = ctx.batch_g1(rc)
+    pk.ap = ctx.batch_g1([fqr.mul(tox.ka, x) for x in ra])
+    pk.bp = ctx.batch_g1([fqr.mul(tox.kb, x) for x in rb])
+    pk.cp = ctx.batch_g1([fqr.mul(tox.kc, x) for x in rc])
+    pk.kp = ctx.batch_g1([fqr.mul(tox.kbeta, x) for x in kts])
+    vk.ic = pk.a[: circuit.n_public + 1]
 
-        ct = pf.eval(gammas[i], tox.t)
-        rho_c_ct = fqr.mul(tox.rho_c, ct)
-        c = g1.mul_scalar(g1.g, rho_c_ct)
-        pk.c.append(c)
-
-        kt = fqr.add(fqr.add(rho_a_at, rho_b_bt), rho_c_ct)
-        k = g1.affine(g1.mul_scalar(g1.g, kt))
-        ktest = g1.affine(g1.add(g1.add(a, bg1), c))
-        if k != ktest:
-            # reference: os.Exit(1) (snark.go:207-211)
+    # K-commitment consistency self-check (snark.go:207-211; error, not
+    # os.Exit): G*kt must equal A_i + B_i + C_i
+    ks = ctx.batch_g1(kts)
+    for i in range(n_sig):
+        if g1.affine(ks[i]) != g1.affine(g1.add(g1.add(pk.a[i], bg1s[i]), pk.c[i])):
             raise SetupError(f"K-commitment consistency check failed at signal {i}")
-
-        pk.ap.append(g1.mul_scalar(a, tox.ka))
-        pk.bp.append(g1.mul_scalar(bg1, tox.kb))
-        pk.cp.append(g1.mul_scalar(c, tox.kc))
-        k_ = g1.mul_scalar(g1.g, kt)
-        pk.kp.append(g1.mul_scalar(k_, tox.kbeta))
 
     # vanishing polynomial with the reference's root-count quirk
     pk.z = pf.vanishing_reference(len(alphas))
@@ -192,12 +187,12 @@ def generate_trusted_setup(
     vk.vkz = g2.mul_scalar(g2.g, fqr.mul(tox.rho_c, zt))
 
     # powers-of-t G1 ladder sized len(z) (snark.go:240-248)
-    g1t = [g1.g]
+    powers = [1]
     t_encr = tox.t
     for _ in range(1, len(pk.z)):
-        g1t.append(g1.mul_scalar(g1.g, t_encr))
+        powers.append(t_encr)
         t_encr = fqr.mul(t_encr, tox.t)
-    pk.g1t = g1t
+    pk.g1t = ctx.batch_g1(powers)
 
     return setup
 
