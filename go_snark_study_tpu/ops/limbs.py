@@ -210,7 +210,9 @@ class FieldKernels:
         XLA scan — bit-identical results either way)."""
         if n < 128 or not self._use_pallas():
             return None
-        for tile in (512, 256, 128):
+        # Pallas blocks are (LIMBS, S, 128) with S >= 8 (sublane rule), so
+        # tiles are multiples of 1024 lanes; smaller batches use the XLA scan.
+        for tile in (2048, 1024):
             if n % tile == 0:
                 key = tile
                 if key not in self._pallas_muls:
