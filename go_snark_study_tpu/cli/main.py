@@ -116,7 +116,33 @@ def cmd_verify(args) -> int:
     return 0 if ok else 1
 
 
+def _load_compiled_sparse():
+    """Compiled circuit -> SparseR1CS + field witness, the TPU fast path's
+    input (no O(n^2) QAP recomputation)."""
+    from ..synthetic import SparseR1CS
+
+    circuit = raw.circuit_from_dict(_read_json("compiledcircuit.json"))
+    private, public = _read_inputs()
+    w = circuit.calculate_witness(private, public)
+    circuit.generate_r1cs()
+    return circuit, SparseR1CS.from_circuit(circuit, witness=w)
+
+
 def cmd_groth16_trustedsetup(args) -> int:
+    if getattr(args, "fast", False):
+        from ..models.groth16_fast import FastGroth16
+
+        _, sparse = _load_compiled_sparse()
+        setup = FastGroth16().setup(sparse)
+        stripped = setup.strip_toxic()
+        _write_json("trustedsetup.json", raw.groth_setup_to_dict(stripped))
+        if args.wasm:
+            _write_json(
+                "trustedsetupString.json", base10.groth_setup_to_dict(stripped)
+            )
+        print("groth16 trusted setup generated (TPU evaluation-form path)")
+        print("wrote trustedsetup.json")
+        return 0
     ctx, circuit, w, alphas, betas, gammas, _, _ = _load_compiled()
     setup = g16.generate_trusted_setup(len(w), circuit, alphas, betas, gammas, ctx=ctx)
     stripped = setup.strip_toxic()
@@ -129,6 +155,17 @@ def cmd_groth16_trustedsetup(args) -> int:
 
 
 def cmd_groth16_genproofs(args) -> int:
+    if getattr(args, "fast", False):
+        from ..models.groth16_fast import FastGroth16
+
+        _, sparse = _load_compiled_sparse()
+        setup = raw.groth_setup_from_dict(_read_json("trustedsetup.json"))
+        t0 = time.time()
+        proof = FastGroth16().prove(sparse, setup.pk)
+        print(f"proof generated in {time.time()-t0:.3f}s (TPU fast path)")
+        _write_json("proofs.json", raw.groth_proof_to_dict(proof))
+        print("wrote proofs.json")
+        return 0
     ctx, circuit, w, _, _, _, _, px = _load_compiled()
     setup = raw.groth_setup_from_dict(_read_json("trustedsetup.json"))
     t0 = time.time()
@@ -175,9 +212,19 @@ def build_parser() -> argparse.ArgumentParser:
     g16p = sub.add_parser("groth16", help="use groth16 protocol")
     g16sub = g16p.add_subparsers(dest="subcommand", required=True)
     gt = g16sub.add_parser("trustedsetup", aliases=["t"])
+    gt.add_argument(
+        "--fast",
+        action="store_true",
+        help="TPU evaluation-form setup (roots-of-unity domain, device MSMs)",
+    )
     gt.add_argument("wasm", nargs="?")
     gt.set_defaults(fn=cmd_groth16_trustedsetup)
     gg = g16sub.add_parser("genproofs", aliases=["g"])
+    gg.add_argument(
+        "--fast",
+        action="store_true",
+        help="TPU fast prover (fused device MSMs + NTT H pipeline)",
+    )
     gg.set_defaults(fn=cmd_groth16_genproofs)
     gv = g16sub.add_parser("verify", aliases=["v"])
     gv.set_defaults(fn=cmd_groth16_verify)

@@ -1,4 +1,5 @@
-"""Groth16 fast path: evaluation-form QAP over a roots-of-unity domain.
+"""Groth16 fast path: evaluation-form QAP over a roots-of-unity domain,
+fully device-resident.
 
 This is the TPU-native prover for LARGE circuits (the reference's monomial
 Lagrange path is O(n^2)-O(n^3) and numerically capped at ~20 constraints,
@@ -7,34 +8,38 @@ Proof dataclasses, same verifier) — only the interpolation domain differs:
 
   * constraints live at the 2^k-th roots of unity, Z(x) = x^n - 1;
   * setup evaluates the QAP polynomials at tau via barycentric Lagrange
-    values L_j(tau) (O(n) with one batched inversion) and commits with the
-    TPU fixed-base engine (:mod:`..ops.fixed_base`);
-  * the prover gets H(x) by the classic coset trick — iNTT the witness-
-    combined row evaluations, shift to the coset gH where Z = g^n - 1 is a
-    nonzero constant, pointwise a*b - c, scale, iNTT back — all on device
-    (:mod:`..ops.ntt`);
-  * the three proof MSMs run on the TPU Pippenger engine.
-
-Proofs verify under the UNCHANGED :func:`..models.groth16.verify_proof`.
+    values L_j(tau) (O(n) with one batched inversion), commits with the
+    TPU fixed-base engine (:mod:`..ops.fixed_base`), and keeps the proving
+    key ON DEVICE, affine-normalised (one tree batch-inversion), so every
+    proof MSM runs mixed adds with zero host<->device traffic;
+  * the prover is ONE fused jitted program: the four witness MSM window-sum
+    pipelines, the H(x) coset-trick NTT pipeline (iNTT -> coset -> NTT ->
+    pointwise a·b-c -> scale -> iNTT), the Montgomery-domain exit that turns
+    H's coefficients into MSM digits, and the H MSM — the only host work per
+    proof is packing the witness limbs and combining 5·W tiny window sums
+    (reference loops replaced: groth16.go:243-275);
+  * proofs verify under the UNCHANGED :func:`..models.groth16.verify_proof`.
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 
 from ..bn128 import constants as C
 from ..ops.curve_ops import G1Batch, G2Batch
 from ..ops.fields import fq_kernels, fr_kernels
 from ..ops.fixed_base import FixedBaseEngine
-from ..ops.msm import MSMEngine
+from ..ops.msm import MSMEngine, combine_window_sums, scalars_to_limbs
 from ..ops.ntt import NTTEngine
 from ..synthetic import SparseR1CS
 from .context import ProtocolContext, default_context
 from .groth16 import Pk, Proof, Setup, Toxic, Vk
 
-__all__ = ["FastGroth16"]
+__all__ = ["FastGroth16", "DevicePk"]
 
 _COSET_G = 5  # multiplicative generator of Fr*, not in any 2^k subgroup
 
@@ -43,13 +48,32 @@ def _next_pow2(n: int) -> int:
     return 1 << max(1, (n - 1).bit_length())
 
 
+@dataclass
+class DevicePk:
+    """Device-resident proving key: affine point pytrees, lane-padded.
+
+    Identity padding lanes are (0, 0, 0) — absorbed by the branchless group
+    law, so padded MSMs are exact."""
+
+    n: int  # evaluation domain size (power of two)
+    m: int  # signal count
+    lo: int  # first private index (n_public + 1)
+    m_pad: int
+    mp_pad: int  # padded private count
+    n_pad: int
+    at: object = None  # G1 affine, m_pad lanes
+    b1: object = None  # G1 affine, m_pad lanes
+    b2: object = None  # G2 affine, m_pad lanes
+    cdelta: object = None  # G1 affine, mp_pad lanes (private signals only)
+    ptau: object = None  # G1 affine, n_pad lanes (tau^i Z(tau)/delta)
+
+
 class FastGroth16:
     """Holds the (lazily built) TPU engines; one instance is reusable across
     circuits and proof calls."""
 
     def __init__(self, ctx: Optional[ProtocolContext] = None):
         self.ctx = ctx or default_context()
-        bn = self.ctx.bn
         self.Kq, self.Kr = fq_kernels(), fr_kernels()
         self.g1b, self.g2b = G1Batch(self.Kq), G2Batch(self.Kq)
         self.ntt = NTTEngine(self.Kr)
@@ -57,8 +81,9 @@ class FastGroth16:
         self._fb_g2: Optional[FixedBaseEngine] = None
         self._msm_g1: Optional[MSMEngine] = None
         self._msm_g2: Optional[MSMEngine] = None
+        self._prove_jits = {}
 
-    # -- engines (built on first use; the G2 table costs ~8k host adds) ----
+    # -- engines (built on first use) ---------------------------------
     @property
     def fb_g1(self) -> FixedBaseEngine:
         if self._fb_g1 is None:
@@ -110,9 +135,48 @@ class FastGroth16:
         return [pw[j] * scale % r * invs[j] % r for j in range(n)]
 
     # ------------------------------------------------------------------
-    def setup(self, r1cs: SparseR1CS, rng=None) -> Setup:
+    def _pad_for(self, n: int) -> int:
+        return n + ((-n) % self.msm_g1.pad_quantum(n))
+
+    def _device_pk_from_scalars(
+        self, n: int, m: int, lo: int, ats, bts, cdelta_priv, ladder
+    ) -> DevicePk:
+        """Commit scalar vectors with the fixed-base engines, keeping every
+        result on device, then affine-normalise once."""
+        from ..ops.msm import scalars_to_windows
+
+        m_pad = self._pad_for(m)
+        mp_pad = self._pad_for(m - lo)
+        n_pad = self._pad_for(n)
+
+        def commit(fb, bg, scalars, lanes):
+            scs = list(scalars) + [0] * (lanes - len(scalars))
+            windows = scalars_to_windows(scs, C.R)
+            jac = fb.batch_mul_device(windows)
+            return bg.to_affine(jac)
+
+        return DevicePk(
+            n=n,
+            m=m,
+            lo=lo,
+            m_pad=m_pad,
+            mp_pad=mp_pad,
+            n_pad=n_pad,
+            at=commit(self.fb_g1, self.g1b, ats, m_pad),
+            b1=commit(self.fb_g1, self.g1b, bts, m_pad),
+            b2=commit(self.fb_g2, self.g2b, bts, m_pad),
+            cdelta=commit(self.fb_g1, self.g1b, cdelta_priv, mp_pad),
+            ptau=commit(self.fb_g1, self.g1b, ladder[:n], n_pad),
+        )
+
+    # ------------------------------------------------------------------
+    def setup(
+        self, r1cs: SparseR1CS, rng=None, materialize_host: bool = True
+    ) -> Setup:
         """Evaluation-form trusted setup; same artifact shapes as
-        groth16.generate_trusted_setup (groth16.go:94-222)."""
+        groth16.generate_trusted_setup (groth16.go:94-222).  The proving key
+        stays device-resident (``pk._device``); host lists are materialised
+        only when ``materialize_host`` (needed for JSON serialization)."""
         ctx = self.ctx
         r = C.R
         n = _next_pow2(r1cs.n_constraints)
@@ -149,14 +213,25 @@ class FastGroth16:
         inv_gamma = pow(tox.kgamma, -1, r)
 
         # powers-of-tau ladder (pre-scaled by Z(t)/delta like the reference,
-        # groth16.go:139-149), length n+1 = len(z)
+        # groth16.go:139-149), length n+1 = len(z); H has degree <= n-2 so
+        # the device key keeps the first n entries
         ztd = zt * inv_delta % r
         ladder = [ztd]
         acc = tox.t
         for _ in range(1, len(pk.z)):
             ladder.append(acc * ztd % r)
             acc = acc * tox.t % r
-        pk.powers_tau_delta = self.fb_g1.batch_mul(ladder)
+
+        lo = r1cs.n_public + 1
+        bac = [
+            (ats[i] * tox.kbeta + bts[i] * tox.kalpha + cts[i]) % r
+            for i in range(m)
+        ]
+        cdelta_priv = [x * inv_delta % r for x in bac[lo:]]
+
+        pk._device = self._device_pk_from_scalars(
+            n, m, lo, ats, bts, cdelta_priv, ladder
+        )
 
         g1, g2 = ctx.bn.g1, ctx.bn.g2
         pk.g1.alpha = g1.mul_scalar(g1.g, tox.kalpha)
@@ -169,36 +244,67 @@ class FastGroth16:
         vk.g2.beta = pk.g2.beta
         vk.g2.gamma = pk.g2.gamma
         vk.g2.delta = pk.g2.delta
+        vk.ic = self.fb_g1.batch_mul([x * inv_gamma % r for x in bac[:lo]])
 
-        pk.g1.at = self.fb_g1.batch_mul(ats)
-        pk.g1.bacgamma = self.fb_g1.batch_mul(bts)
-        pk.g2.bacgamma = self.fb_g2.batch_mul(bts)
-
-        l_pub = r1cs.n_public + 1
-        bac = [
-            (ats[i] * tox.kbeta + bts[i] * tox.kalpha + cts[i]) % r for i in range(m)
-        ]
-        pk.bacdelta = [g1.zero()] * l_pub + self.fb_g1.batch_mul(
-            [x * inv_delta % r for x in bac[l_pub:]]
-        )
-        vk.ic = self.fb_g1.batch_mul([x * inv_gamma % r for x in bac[:l_pub]])
+        if materialize_host:
+            dpk = pk._device
+            pk.g1.at = self.g1b.unpack(
+                jax.tree.map(lambda x: x[..., :m], dpk.at)
+            )
+            pk.g1.bacgamma = self.g1b.unpack(
+                jax.tree.map(lambda x: x[..., :m], dpk.b1)
+            )
+            pk.g2.bacgamma = self.g2b.unpack(
+                jax.tree.map(lambda x: x[..., :m], dpk.b2)
+            )
+            pk.bacdelta = [g1.zero()] * lo + self.g1b.unpack(
+                jax.tree.map(lambda x: x[..., : m - lo], dpk.cdelta)
+            )
+            pk.powers_tau_delta = self.g1b.unpack(
+                jax.tree.map(lambda x: x[..., :n], dpk.ptau)
+            ) + self.fb_g1.batch_mul(ladder[n:])
         return setup
 
     # ------------------------------------------------------------------
-    def _h_coeffs(self, r1cs: SparseR1CS, n: int):
-        """H(x) = (A B - C)/Z on device via the coset trick; returns the n
-        coefficient ints of H (degree <= n-2)."""
+    def _device_pk(self, pk: Pk, n: int, lo: int) -> DevicePk:
+        """Device key from a host Pk (packs + affine-normalises once,
+        cached on the Pk object)."""
+        if getattr(pk, "_device", None) is not None:
+            return pk._device
+        m = len(pk.g1.at)
+        m_pad = self._pad_for(m)
+        mp_pad = self._pad_for(m - lo)
+        n_pad = self._pad_for(n)
+        zero1, zero2 = self.ctx.bn.g1.zero(), self.ctx.bn.g2.zero()
+
+        def packa(bg, pts, lanes, zero):
+            arr = list(pts) + [zero] * (lanes - len(pts))
+            return bg.to_affine(bg.pack(arr))
+
+        pk._device = DevicePk(
+            n=n,
+            m=m,
+            lo=lo,
+            m_pad=m_pad,
+            mp_pad=mp_pad,
+            n_pad=n_pad,
+            at=packa(self.g1b, pk.g1.at, m_pad, zero1),
+            b1=packa(self.g1b, pk.g1.bacgamma, m_pad, zero1),
+            b2=packa(self.g2b, pk.g2.bacgamma, m_pad, zero2),
+            cdelta=packa(self.g1b, pk.bacdelta[lo:], mp_pad, zero1),
+            ptau=packa(self.g1b, pk.powers_tau_delta[:n], n_pad, zero1),
+        )
+        return pk._device
+
+    def _h_pipeline(self, n: int):
+        """Traced H(x) pipeline: evaluation-form a, b, c (32, n) Montgomery
+        -> H coefficients (32, n) Montgomery, via the coset trick
+        (Z = g^n - 1 is a nonzero constant off the subgroup)."""
         r = C.R
-        a_e, b_e, c_e = r1cs.row_evals()
-        pad = n - len(a_e)
         K, ntt = self.Kr, self.ntt
-
-        dev = lambda v: K.pack(v + [0] * pad)
-        za, zb, zc = dev(a_e), dev(b_e), dev(c_e)
-
         g = _COSET_G
         zinv = pow((pow(g, n, r) - 1) % r, -1, r)
-        zinv_l = K.pack([zinv])
+        zinv_l = K.pack_np([zinv])
 
         def pipeline(a, b, c):
             to_coset = lambda x: ntt._get_jit(n, False)(
@@ -206,28 +312,84 @@ class FastGroth16:
             )
             ac, bc, cc = to_coset(a), to_coset(b), to_coset(c)
             p = K._sub_impl(K._mul_impl(ac, bc), cc)
-            hc = K._mul_const_impl(p, zinv_l)
+            hc = K._mul_const_impl(p, jnp.asarray(zinv_l))
             return ntt.coset_shift(ntt._get_jit(n, True)(hc), g=g, inverse=True)
 
-        return K.unpack(pipeline(za, zb, zc))
+        return pipeline
 
+    def _get_prove_jit(self, dpk: DevicePk):
+        key = (dpk.n, dpk.m_pad, dpk.mp_pad, dpk.n_pad)
+        if key in self._prove_jits:
+            return self._prove_jits[key]
+
+        c_m = self.msm_g1.window_bits_for(dpk.m_pad)
+        c_p = self.msm_g1.window_bits_for(dpk.mp_pad)
+        c_h = self.msm_g1.window_bits_for(dpk.n_pad)
+        h_pipe = self._h_pipeline(dpk.n)
+        Kr = self.Kr
+
+        def fused(at, b1, b2, cd, pt, w_limbs, wp_limbs, a_e, b_e, c_e):
+            s_at = self.msm_g1.window_sums_device(at, w_limbs, c_m)
+            s_b1 = self.msm_g1.window_sums_device(b1, w_limbs, c_m)
+            s_b2 = self.msm_g2.window_sums_device(b2, w_limbs, c_m)
+            s_cd = self.msm_g1.window_sums_device(cd, wp_limbs, c_p)
+            h_mont = h_pipe(a_e, b_e, c_e)
+            h_plain = Kr._from_mont_impl(h_mont)  # canonical base-256 limbs
+            pad = dpk.n_pad - dpk.n
+            if pad:
+                h_plain = jnp.pad(h_plain, ((0, 0), (0, pad)))
+            s_h = self.msm_g1.window_sums_device(pt, h_plain, c_h)
+            return s_at, s_b1, s_b2, s_cd, s_h
+
+        self._prove_jits[key] = (jax.jit(fused), (c_m, c_p, c_h))
+        return self._prove_jits[key]
+
+    # ------------------------------------------------------------------
     def prove(self, r1cs: SparseR1CS, pk: Pk, rng=None) -> Proof:
         """TPU Groth16 prover: same assembly as groth16.generate_proofs
-        (groth16.go:225-279) with NTT H(x) and Pippenger MSMs."""
+        (groth16.go:225-279) with NTT H(x) and fused device MSMs."""
         ctx = self.ctx
         r = C.R
         g1, g2 = ctx.bn.g1, ctx.bn.g2
         w = [x % r for x in r1cs.witness]
         n = _next_pow2(r1cs.n_constraints)
         lo = r1cs.n_public + 1
+        dpk = self._device_pk(pk, n, lo)
 
         r_rand = ctx.rand_fr(rng)
         s_rand = ctx.rand_fr(rng)
 
-        pi_a = self.msm_g1.msm(pk.g1.at, w)
-        pi_b_g1 = self.msm_g1.msm(pk.g1.bacgamma, w)
-        pi_b = self.msm_g2.msm(pk.g2.bacgamma, w)
-        pi_c = self.msm_g1.msm(pk.bacdelta[lo:], w[lo:])
+        # host -> device: witness limbs + evaluation-form row combinations
+        w_limbs = scalars_to_limbs(w + [0] * (dpk.m_pad - len(w)), r)
+        wp_limbs = scalars_to_limbs(
+            w[lo:] + [0] * (dpk.mp_pad - (len(w) - lo)), r
+        )
+        a_e, b_e, c_e = r1cs.row_evals()
+        pad = n - len(a_e)
+        dev = lambda v: self.Kr.pack(list(v) + [0] * pad)
+
+        fused, (c_m, c_p, c_h) = self._get_prove_jit(dpk)
+        s_at, s_b1, s_b2, s_cd, s_h = fused(
+            dpk.at,
+            dpk.b1,
+            dpk.b2,
+            dpk.cdelta,
+            dpk.ptau,
+            w_limbs,
+            wp_limbs,
+            dev(a_e),
+            dev(b_e),
+            dev(c_e),
+        )
+
+        comb1 = lambda sums, c: combine_window_sums(
+            g1, self.g1b.unpack(sums), c
+        )
+        pi_a = comb1(s_at, c_m)
+        pi_b_g1 = comb1(s_b1, c_m)
+        pi_b = combine_window_sums(g2, self.g2b.unpack(s_b2), c_m)
+        pi_c = comb1(s_cd, c_p)
+        pi_h = comb1(s_h, c_h)
 
         pi_a = g1.add(pi_a, pk.g1.alpha)
         pi_a = g1.add(pi_a, g1.mul_scalar(pk.g1.delta, r_rand))
@@ -236,8 +398,7 @@ class FastGroth16:
         pi_b_g1 = g1.add(pi_b_g1, g1.mul_scalar(pk.g1.delta, s_rand))
         pi_b = g2.add(pi_b, g2.mul_scalar(pk.g2.delta, s_rand))
 
-        hx = self._h_coeffs(r1cs, n)
-        pi_c = g1.add(pi_c, self.msm_g1.msm(pk.powers_tau_delta[: len(hx)], hx))
+        pi_c = g1.add(pi_c, pi_h)
         pi_c = g1.add(pi_c, g1.mul_scalar(pi_a, s_rand))
         pi_c = g1.add(pi_c, g1.mul_scalar(pi_b_g1, r_rand))
         neg_rs = (-(r_rand * s_rand)) % r

@@ -25,7 +25,15 @@ import jax.numpy as jnp
 
 from .limbs import FieldKernels
 
-__all__ = ["BatchFq", "BatchFq2", "jacobian_add", "jacobian_double", "G1Batch", "G2Batch"]
+__all__ = [
+    "BatchFq",
+    "BatchFq2",
+    "jacobian_add",
+    "jacobian_add_mixed",
+    "jacobian_double",
+    "G1Batch",
+    "G2Batch",
+]
 
 
 class BatchFq:
@@ -62,6 +70,13 @@ class BatchFq:
 
     def zeros_like(self, a):
         return jnp.zeros_like(a)
+
+    def inverse(self, a):
+        """Batched tree inversion (zero -> zero)."""
+        return self.K.batch_inverse(a)
+
+    def one(self, n: int):
+        return self.K.ones_mont(n)
 
 
 class BatchFq2:
@@ -109,6 +124,17 @@ class BatchFq2:
 
     def zeros_like(self, a):
         return (jnp.zeros_like(a[0]), jnp.zeros_like(a[1]))
+
+    def inverse(self, a):
+        """(a0 + a1 u)^-1 = (a0 - a1 u) / (a0^2 + a1^2) for beta = -1
+        (eprint 2010/354 alg 8, batched; zero -> zero)."""
+        K = self.K
+        norm = K._add_impl(K._mul_impl(a[0], a[0]), K._mul_impl(a[1], a[1]))
+        ninv = K.batch_inverse(norm)
+        return (K._mul_impl(a[0], ninv), K._neg_impl(K._mul_impl(a[1], ninv)))
+
+    def one(self, n: int):
+        return (self.K.ones_mont(n), self.K.zeros(n))
 
 
 def jacobian_double(F, p):
@@ -172,6 +198,49 @@ def jacobian_add(F, p1, p2):
     return out
 
 
+def jacobian_add_mixed(F, p1, p2):
+    """madd-2007-bl: p1 Jacobian + p2 AFFINE (z2 must be the field one for
+    live points, zero for identity padding).  7M+4S vs the full add's 11M+5S
+    — the workhorse of the MSM accumulation phase, where the incoming stream
+    is the affine-normalised point table (reference work replaced:
+    snark.go:265-286 / groth16.go:243-275 inner loops)."""
+    x1, y1, z1 = p1
+    x2, y2, z2 = p2
+    p1_zero = F.is_zero(z1)
+    p2_zero = F.is_zero(z2)
+
+    z1z1 = F.square(z1)
+    u2 = F.mul(x2, z1z1)
+    s2 = F.mul(y2, F.mul(z1, z1z1))
+    h = F.sub(u2, x1)
+    r_ = F.double(F.sub(s2, y1))
+    h_zero = F.is_zero(h)
+    r_zero = F.is_zero(r_)
+
+    hh = F.square(h)
+    i = F.double(F.double(hh))
+    j = F.mul(h, i)
+    v = F.mul(x1, i)
+    x3 = F.sub(F.sub(F.square(r_), j), F.double(v))
+    y3 = F.sub(F.mul(r_, F.sub(v, x3)), F.double(F.mul(y1, j)))
+    z3 = F.sub(F.sub(F.square(F.add(z1, h)), z1z1), hh)
+    added = (x3, y3, z3)
+
+    doubled = jacobian_double(F, p1)
+
+    same_x_same_y = jnp.logical_and(h_zero, r_zero)
+    same_x_diff_y = jnp.logical_and(h_zero, jnp.logical_not(r_zero))
+
+    sel = lambda m, a, b: tuple(F.select(m, ca, cb) for ca, cb in zip(a, b))
+    zero_pt = tuple(F.zeros_like(c) for c in added)
+
+    out = sel(same_x_same_y, doubled, added)
+    out = sel(same_x_diff_y, zero_pt, out)
+    out = sel(p2_zero, p1, out)
+    out = sel(p1_zero, p2, out)
+    return out
+
+
 class _BatchGroup:
     def __init__(self, F, K: FieldKernels, coord_arity: int):
         self.F = F
@@ -179,9 +248,36 @@ class _BatchGroup:
         self._arity = coord_arity
         self.add = jax.jit(lambda p1, p2: jacobian_add(self.F, p1, p2))
         self.double = jax.jit(lambda p: jacobian_double(self.F, p))
+        self.to_affine = jax.jit(self._to_affine_impl)
 
     def is_zero(self, p):
         return self.F.is_zero(p[2])
+
+    def _to_affine_impl(self, p):
+        """Jacobian -> affine (x/z^2, y/z^3, 1) batched; identities map to
+        (0, 0, 0).  ~7 muls/point via the tree batch inversion — run once per
+        proving key so every MSM accumulation add is the cheap mixed add."""
+        F = self.F
+        x, y, z = p
+        is_id = F.is_zero(z)
+        zinv = F.inverse(z)
+        zi2 = F.square(zinv)
+        zi3 = F.mul(zi2, zinv)
+        ax = F.mul(x, zi2)
+        ay = F.mul(y, zi3)
+        one = self.one_coord(z)
+        zero = F.zeros_like(z)
+        nz = jnp.logical_not(is_id)
+        return (
+            F.select(nz, ax, zero),
+            F.select(nz, ay, zero),
+            F.select(nz, one, zero),
+        )
+
+    def one_coord(self, like):
+        """Field one broadcast to the lane count of ``like``."""
+        n = like.shape[1] if not isinstance(like, tuple) else like[0].shape[1]
+        return self.F.one(n)
 
 
 class G1Batch(_BatchGroup):

@@ -175,15 +175,41 @@ class FieldKernels:
     # ------------------------------------------------------------------
     # arithmetic
     # ------------------------------------------------------------------
+    @staticmethod
+    def _nd(fn, *arrays):
+        """Run a 2-D (32, N) kernel on arrays of any trailing rank by
+        flattening the batch axes (the MSM pipeline carries (32, W, P)
+        leaves; every op here is lane-independent)."""
+        shape = arrays[0].shape
+        if len(shape) == 2:
+            return fn(*arrays)
+        flat = [x.reshape(LIMBS, -1) for x in arrays]
+        return fn(*flat).reshape(shape)
+
     def _add_impl(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-        return self._cond_sub_p(self._carry(a + b))
+        return self._nd(
+            lambda x, y: self._cond_sub_p(self._carry(x + y)), a, b
+        )
 
     def _sub_impl(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-        return self._cond_sub_p(self._carry(a - b + self.p_limbs[:, None]))
+        return self._nd(
+            lambda x, y: self._cond_sub_p(
+                self._carry(x - y + self.p_limbs[:, None])
+            ),
+            a,
+            b,
+        )
 
     def _neg_impl(self, a: jnp.ndarray) -> jnp.ndarray:
-        z = jnp.zeros_like(a)
-        return jnp.where(self.is_zero(a)[None, :], z, self._cond_sub_p(self._carry(self.p_limbs[:, None] - a)))
+        def neg2(x):
+            z = jnp.zeros_like(x)
+            return jnp.where(
+                self.is_zero(x)[None, :],
+                z,
+                self._cond_sub_p(self._carry(self.p_limbs[:, None] - x)),
+            )
+
+        return self._nd(neg2, a)
 
     def _double_impl(self, a: jnp.ndarray) -> jnp.ndarray:
         return self._add_impl(a, a)
@@ -205,22 +231,31 @@ class FieldKernels:
                     self._use_pallas_cached = False
         return self._use_pallas_cached
 
+    def _pallas_mul_tile(self, tile: int):
+        if tile not in self._pallas_muls:
+            from .pallas_field import make_pallas_mont_mul
+
+            self._pallas_muls[tile] = make_pallas_mont_mul(self.p, tile)
+        return self._pallas_muls[tile]
+
     def _pallas_for(self, n: int):
         """Fused Pallas multiplier for batch n, or None (fallback to the
-        XLA scan — bit-identical results either way)."""
-        if n < 128 or not self._use_pallas():
-            return None
-        # Pallas blocks are (LIMBS, S, 128) with S >= 8 (sublane rule), so
-        # tiles are multiples of 1024 lanes; smaller batches use the XLA scan.
-        for tile in (2048, 1024):
-            if n % tile == 0:
-                key = tile
-                if key not in self._pallas_muls:
-                    from .pallas_field import make_pallas_mont_mul
+        XLA scan — bit-identical results either way).
 
-                    self._pallas_muls[key] = make_pallas_mont_mul(self.p, tile)
-                return self._pallas_muls[key]
-        return None
+        Pallas blocks are (LIMBS, S, 128) with S >= 8 (sublane rule), so
+        tiles are multiples of 1024 lanes; off-tile batches >= 512 are
+        padded up (cheaper than the 32-step XLA scan), smaller ones use
+        the XLA scan."""
+        if n < 512 or not self._use_pallas():
+            return None
+        tile = 2048 if n >= 2048 else 1024
+        pmul = self._pallas_mul_tile(tile)
+        pad = (-n) % tile
+        if pad == 0:
+            return pmul
+        return lambda a, b: pmul(
+            jnp.pad(a, ((0, 0), (0, pad))), jnp.pad(b, ((0, 0), (0, pad)))
+        )[:, :n]
 
     def _mul_impl(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """Montgomery product  a*b*R^-1 mod p.
@@ -228,6 +263,8 @@ class FieldKernels:
         On TPU backends, batches that tile into 128-lane blocks dispatch to
         the fused Pallas kernel (:mod:`.pallas_field`); everything else uses
         the XLA CIOS scan below.  Both produce identical bits."""
+        if a.ndim > 2:
+            return self._nd(self._mul_impl, a, b)
         pmul = self._pallas_for(a.shape[1])
         if pmul is not None:
             return pmul(a, b)
@@ -268,7 +305,7 @@ class FieldKernels:
 
     def _mul_const_impl(self, a: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
         """a * k where k is a single element ((32,) or (32,1) limbs)."""
-        k = k.reshape(LIMBS, 1)
+        k = k.reshape((LIMBS,) + (1,) * (a.ndim - 1))
         return self._mul_impl(a, jnp.broadcast_to(k, a.shape))
 
     # ------------------------------------------------------------------
@@ -297,6 +334,36 @@ class FieldKernels:
     # ------------------------------------------------------------------
     # inversion (Fermat) — used for batched affine conversion on-device
     # ------------------------------------------------------------------
+    def batch_inverse(self, a: jnp.ndarray) -> jnp.ndarray:
+        """Tree-structured batched inversion: ~3N Montgomery muls total
+        (product tree up, one Fermat inversion of the root, unwind down)
+        vs ~380N for per-element Fermat.  Zero inputs invert to zero.
+        Used once per proving key to normalise device points to affine."""
+        n = a.shape[1]
+        zero_mask = self.is_zero(a)
+        one = self.ones_mont(n)
+        x = jnp.where(zero_mask[None, :], one, a)
+        # pad lanes to a power of two with Montgomery ones
+        n2 = 1 << (n - 1).bit_length()
+        if n2 != n:
+            x = jnp.concatenate([x, self.ones_mont(n2 - n)], axis=1)
+        levels = []
+        cur = x
+        while cur.shape[1] > 1:
+            h = cur.shape[1] // 2
+            pair = cur.reshape(LIMBS, h, 2)
+            lo, hi = pair[:, :, 0], pair[:, :, 1]
+            levels.append((lo, hi))
+            cur = self._mul_impl(lo, hi)
+        inv = self._inverse_impl(cur)  # (32, 1) Fermat on the root
+        for lo, hi in reversed(levels):
+            inv_lo = self._mul_impl(inv, hi)
+            inv_hi = self._mul_impl(inv, lo)
+            h = inv_lo.shape[1]
+            inv = jnp.stack([inv_lo, inv_hi], axis=2).reshape(LIMBS, 2 * h)
+        inv = inv[:, :n]
+        return jnp.where(zero_mask[None, :], jnp.zeros_like(inv), inv)
+
     def _inverse_impl(self, a: jnp.ndarray) -> jnp.ndarray:
         """a^(p-2) (Fermat).  Structured as a fori_loop over the exponent's
         bits so the trace stays small (one square + one select-multiply);

@@ -4,27 +4,37 @@ Replaces the reference prover's serial Σ wᵢ·Pᵢ loops (snark.go:265-286,
 groth16/groth16.go:243-275; SURVEY §2.9 row 2) with a bucket MSM shaped for
 SIMD hardware:
 
-  1. **window decomposition** — scalars are split into 32 radix-2^8 digits
-     (one byte per window); windows are processed by a ``lax.scan`` so the
-     trace stays small and points are reused across windows.
+  1. **adaptive window decomposition** — scalars are split into W = ⌈254/c⌉
+     radix-2^c digits with c chosen from the point count (c=8 small →
+     c=13 at 2^20): larger windows mean fewer passes over the points, and
+     the extra bucket-reduction cost is kept parallel (see 4).  Digits are
+     extracted ON DEVICE from the base-2^8 limb representation of the
+     scalars, so scalars never round-trip through python ints.
   2. **bucket accumulation** — the data-dependent scatter becomes
-     sort-by-digit + a segmented Hillis-Steele inclusive scan: after sorting,
-     every bucket is a contiguous run, and ``log2(N)`` masked batched point
-     additions reduce each run; the run's tail element is scattered into its
-     bucket slot.  No serial dependency on N anywhere.
-  3. **bucket reduction** — the classic double-running-sum
-     Σ b·B_b = Σ (running suffix sums), scanned over the 256 bucket index
-     with all 32 windows batched in the lane dimension.
-  4. **window combination** — 32 window sums (tiny) are combined with 8
+     sort-by-digit + run accumulation.  Windows are processed in GROUPS that
+     ride in the lane dimension (one sort / one scan for the whole group):
+     per sorted stream, tiles of the stream are accumulated serially
+     (K steps of Wg·N/K-wide MIXED Jacobian adds — the incoming points are
+     affine-normalised once per key, so each add is 7M+4S instead of
+     11M+5S), then the per-tile run partials are compacted and merged with a
+     log-step segmented scan, and each run's tail lands in its bucket slot.
+  3. **no serial dependency on N anywhere**; lane widths stay in the
+     10^4-10^5 range where the Pallas Montgomery kernel runs at full rate.
+  4. **parallel bucket reduction** — Σ b·B_b is NOT the classic serial
+     double-running-sum over 2^c buckets (useless at c=13): buckets are
+     chunked b = q·D + j; Σ b·B_b = D·Σ_q q·S_q + Σ_q T_q where the chunk
+     scans run D steps at W·Q-wide lanes and Σ_q q·S_q is a bit-sliced
+     tree reduction — everything wide, nothing O(2^c) serial.
+  5. **window combination** — W window sums (tiny) are combined with c
      doublings per window on the host in exact arithmetic.
 
 On a device mesh, points are sharded along the batch axis and each shard's
-window sums are combined with ``all_gather`` + the same reduction — see
+window sums are combined with ``all_gather`` + tree adds — see
 :mod:`go_snark_study_tpu.parallel.sharded_msm`.
 
-All point math is the branchless Jacobian kernel (:mod:`.curve_ops`), so
-equal points / identities inside buckets are handled correctly — cases the
-reference's serial loop never encounters.
+All point math is branchless (:mod:`.curve_ops`), so equal points /
+identities inside buckets are handled correctly — cases the reference's
+serial loop never encounters.
 """
 
 from __future__ import annotations
@@ -35,21 +45,88 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .curve_ops import G1Batch, G2Batch, jacobian_add
+from .curve_ops import jacobian_add, jacobian_add_mixed, jacobian_double
 from .limbs import LIMBS
 
-__all__ = ["MSMEngine", "scalars_to_windows", "WINDOW_BITS", "NUM_WINDOWS"]
+__all__ = [
+    "MSMEngine",
+    "scalars_to_limbs",
+    "scalars_to_windows",
+    "digits_from_limbs",
+    "num_windows",
+    "choose_window_bits",
+    "combine_window_sums",
+    "WINDOW_BITS",
+    "NUM_WINDOWS",
+]
 
+# legacy 8-bit constants — still the fixed-base table radix (ops/fixed_base)
 WINDOW_BITS = 8
-NUM_WINDOWS = 32  # ceil(254 / 8)
-NUM_BUCKETS = 1 << WINDOW_BITS  # digit range; bucket 0 unused
+NUM_WINDOWS = 32
+
+SCALAR_BITS = 254  # BN128 r bit length
 
 
-def scalars_to_windows(scalars: Sequence[int], modulus: int) -> jnp.ndarray:
-    """Scalars -> (NUM_WINDOWS, N) int32 byte digits, little-endian windows."""
-    buf = b"".join((s % modulus).to_bytes(NUM_WINDOWS, "little") for s in scalars)
-    arr = np.frombuffer(buf, dtype=np.uint8).reshape(len(scalars), NUM_WINDOWS)
+def scalars_to_limbs(scalars: Sequence[int], modulus: int) -> jnp.ndarray:
+    """Scalars -> (32, N) int32 base-2^8 little-endian limbs (plain, not
+    Montgomery) — the device-side source for window digit extraction."""
+    buf = b"".join((s % modulus).to_bytes(LIMBS, "little") for s in scalars)
+    arr = np.frombuffer(buf, dtype=np.uint8).reshape(len(scalars), LIMBS)
     return jnp.asarray(arr.T.astype(np.int32))
+
+
+# historical name: with 8-bit limbs the limb rows ARE the 8-bit windows
+scalars_to_windows = scalars_to_limbs
+
+
+def num_windows(c: int) -> int:
+    return -(-SCALAR_BITS // c)
+
+
+def choose_window_bits(n: int) -> int:
+    """Window width minimising W·N mixed adds + bucket/compaction overhead
+    (tuned on v5e; the break-evens are flat so coarse steps suffice)."""
+    if n >= 1 << 19:
+        return 13
+    if n >= 1 << 17:
+        return 12
+    if n >= 1 << 15:
+        return 11
+    if n >= 1 << 13:
+        return 10
+    return 8
+
+
+def digits_from_limbs(limbs: jnp.ndarray, c: int) -> jnp.ndarray:
+    """(32, N) base-256 limbs -> (W, N) int32 radix-2^c digits, on device.
+
+    Window w covers scalar bits [w*c, (w+1)*c) and spans at most three 8-bit
+    limbs; rows are assembled with static shifts (trace-time unrolled, W is
+    small)."""
+    mask = (1 << c) - 1
+    rows = []
+    for w in range(num_windows(c)):
+        lo_bit = w * c
+        b0, sh = lo_bit // 8, lo_bit % 8
+        d = limbs[b0] >> sh
+        got = 8 - sh
+        j = 1
+        while got < c and b0 + j < LIMBS:
+            d = d | (limbs[b0 + j] << got)
+            got += 8
+            j += 1
+        rows.append(d & mask)
+    return jnp.stack(rows)
+
+
+def combine_window_sums(host_group, window_pts, c: int):
+    """Exact host combination: Σ_w 2^(c·w) · S_w, MSB window first."""
+    total = host_group.zero()
+    for wp in reversed(window_pts):
+        for _ in range(c):
+            total = host_group.double(total)
+        total = host_group.add(total, wp)
+    return total
 
 
 def _tree_map_point(fn, *pts):
@@ -58,186 +135,309 @@ def _tree_map_point(fn, *pts):
 
 class MSMEngine:
     """MSM over one group (G1Batch or G2Batch) with its host group for the
-    final exact combination step."""
+    final exact combination step.
+
+    ``tile_threshold``: point counts below this use the simple (sort + one
+    log-scan) path; above it the tiled group pipeline.
+    ``tile_steps``: explicit serial step count K for the tiled path (tests);
+    default sizes tiles so each window contributes ``tile_lanes`` lanes.
+    ``group_bytes``: memory budget for one window group's partial-sum
+    emission, which bounds how many windows share a pass.
+    """
 
     def __init__(
         self,
         batch_group,
         host_group,
         scalar_modulus: int,
+        window_bits: int | None = None,
         tile_threshold: int = 8192,
-        tile_steps: int = 64,
+        tile_steps: int | None = None,
+        tile_lanes: int = 4096,
+        group_bytes: int = 3 << 30,
     ):
         self.bg = batch_group
         self.host_group = host_group
         self.r = scalar_modulus
+        self.window_bits = window_bits
         self.tile_threshold = tile_threshold
         self.tile_steps = tile_steps
-        self._window_sums_jit = jax.jit(self._window_sums)
+        self.tile_lanes = tile_lanes
+        self.group_bytes = group_bytes
+        self._jits = {}
 
     # ------------------------------------------------------------------
-    # device pipeline
+    # parameter selection
     # ------------------------------------------------------------------
-    def _seg_scan_runs(self, sorted_points, sdig):
+    def window_bits_for(self, n: int) -> int:
+        return self.window_bits or choose_window_bits(n)
+
+    def pad_quantum(self, n: int) -> int:
+        if n >= self.tile_threshold:
+            return self.tile_steps if self.tile_steps else self.tile_lanes
+        return 128
+
+    def _coord_bytes(self) -> int:
+        # bytes per point-lane: 3 coords x arity x 32 limbs x 4 B
+        return 3 * self.bg._arity * LIMBS * 4
+
+    def _group_size(self, n: int, w: int) -> int:
+        by_mem = max(1, self.group_bytes // (n * self._coord_bytes()))
+        return max(1, min(w, by_mem))
+
+    # ------------------------------------------------------------------
+    # device pipeline (pure traced functions of device arrays)
+    # ------------------------------------------------------------------
+    def _seg_scan_runs(self, pts, sdig):
         """Segmented Hillis-Steele inclusive scan over contiguous runs of
-        equal ``sdig``; negative digits are sentinels (still scanned, but
-        excluded from buckets later).  Returns scanned points."""
-        n = sdig.shape[0]
+        equal ``sdig`` along the LAST axis (windows ride in leading batch
+        axes; rolls never cross them).  Negative digits are sentinels."""
         F = self.bg.F
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)[0]
-        steps = max(1, (n - 1).bit_length())
+        P = sdig.shape[-1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, sdig.shape, sdig.ndim - 1)
+        steps = max(1, (P - 1).bit_length())
 
         def scan_step(s, acc):
             d = jnp.int32(1) << s
-            rolled_dig = jnp.roll(sdig, d)
+            rolled_dig = jnp.roll(sdig, d, axis=-1)
             same = jnp.logical_and(lane >= d, rolled_dig == sdig)
-            prev = _tree_map_point(lambda c: jnp.roll(c, d, axis=1), acc)
+            prev = _tree_map_point(lambda c_: jnp.roll(c_, d, axis=-1), acc)
             summed = jacobian_add(F, acc, prev)
             return _tree_map_point(
-                lambda s_, a_: jnp.where(same[None, :], s_, a_), summed, acc
+                lambda s_, a_: jnp.where(same[None], s_, a_), summed, acc
             )
 
-        return jax.lax.fori_loop(0, steps, scan_step, sorted_points)
+        return jax.lax.fori_loop(0, steps, scan_step, pts)
 
     @staticmethod
-    def _runs_to_buckets(acc, sdig):
-        """Scatter each run's tail element into its bucket slot."""
-        nxt = jnp.concatenate([sdig[1:], jnp.full((1,), -2, dtype=sdig.dtype)])
+    def _runs_to_buckets(acc, sdig, m_buckets: int):
+        """Scatter each run's tail element into its bucket slot.
+        acc leaves (32, Wg, P) [or (32, P)], sdig (Wg, P) [or (P,)]."""
+        nxt = jnp.concatenate(
+            [sdig[..., 1:], jnp.full(sdig.shape[:-1] + (1,), -2, sdig.dtype)],
+            axis=-1,
+        )
         is_last = jnp.logical_and(sdig != nxt, sdig >= 0)
-        slot = jnp.where(is_last, sdig, NUM_BUCKETS)
+        slot = jnp.where(is_last, sdig, m_buckets)
+        if sdig.ndim == 1:
+            return _tree_map_point(
+                lambda c_: jnp.zeros((c_.shape[0], m_buckets + 1), c_.dtype)
+                .at[:, slot]
+                .set(c_)[:, :m_buckets],
+                acc,
+            )
+        wg = sdig.shape[0]
+        widx = jnp.broadcast_to(jnp.arange(wg)[:, None], slot.shape)
         return _tree_map_point(
-            lambda c: jnp.zeros((c.shape[0], NUM_BUCKETS + 1), c.dtype)
-            .at[:, slot]
-            .set(c)[:, :NUM_BUCKETS],
+            lambda c_: jnp.zeros((c_.shape[0], wg, m_buckets + 1), c_.dtype)
+            .at[:, widx, slot]
+            .set(c_)[:, :, :m_buckets],
             acc,
         )
 
-    def _segmented_bucket_sums(self, points, digits):
-        """points: pytree of (32, N) coords; digits: (N,) int32 bucket ids.
-        Returns per-bucket sums as a pytree with leaves (32, NUM_BUCKETS).
+    def _group_buckets(self, points, dig_g, m_buckets: int):
+        """Tiled accumulation for one window group.
 
-        Small N: sort + one segmented scan (N log N adds).  Large N: the
-        TILED variant — split the sorted stream into tiles of K elements,
-        serially accumulate within tiles (K steps of N/K-wide adds = N adds
-        total), compact the per-tile run partials (at most 256 + N/K of
-        them), and run the log-scan only on that small compacted stream.
-        This cuts per-window work from ~log2(N)·N to ~N point adds."""
-        n = digits.shape[0]
-        order = jnp.argsort(digits)
-        sdig = digits[order]
-        spts = _tree_map_point(lambda c: c[:, order], points)
-
-        K = self.tile_steps
-        if n < self.tile_threshold or n % K:
-            acc = self._seg_scan_runs(spts, sdig)
-            return self._runs_to_buckets(acc, sdig)
-
+        points: affine point pytree, leaves (32, N); dig_g: (Wg, N) digits.
+        Returns bucket sums, leaves (32, Wg, m_buckets)."""
         F = self.bg.F
-        m = n // K  # tiles = lanes of the serial pass
-        sd = sdig.reshape(m, K)  # tile t, step j = sorted[t*K + j]
-        steps_dig = jnp.transpose(sd)  # (K, m)
-        steps_pts = _tree_map_point(
-            lambda c: jnp.transpose(c.reshape(c.shape[0], m, K), (2, 0, 1)), spts
-        )  # leaves (K, 32, m)
+        wg, n = dig_g.shape
+        if self.tile_steps:
+            k = self.tile_steps
+        else:
+            k = max(2, n // self.tile_lanes)
+        m = n // k  # lanes (tiles) per window
 
-        zero_pt = self.bg.zeros(m)
+        order = jnp.argsort(dig_g, axis=1)
+        sdig = jnp.take_along_axis(dig_g, order, axis=1)
+        # sorted position t*K + j  ->  scan step j, lane (w, t)
+        ord3 = jnp.transpose(order.reshape(wg, m, k), (2, 0, 1))  # (K, Wg, m)
+        dig3 = jnp.transpose(sdig.reshape(wg, m, k), (2, 0, 1))
+
+        zero_pt = self.bg.zeros(wg * m)
 
         def tile_step(carry, xs):
-            acc, prev_dig, j = carry
-            dig, pt = xs
-            boundary_in = jnp.logical_or(j == 0, dig != prev_dig)
-            added = jacobian_add(F, acc, pt)
+            acc, prev_dig = carry
+            idx, dig = xs  # (Wg, m)
+            fid = idx.reshape(-1)
+            pt = _tree_map_point(lambda c_: c_[:, fid], points)
+            dflat = dig.reshape(-1)
+            boundary = dflat != prev_dig
+            added = jacobian_add_mixed(F, acc, pt)
             acc = _tree_map_point(
-                lambda p_, a_: jnp.where(boundary_in[None, :], p_, a_), pt, added
+                lambda p_, a_: jnp.where(boundary[None], p_, a_), pt, added
             )
-            # closed if the NEXT element (step j+1) starts a new run; emit now
-            return (acc, dig, j + 1), (acc, dig)
+            return (acc, dflat), acc
 
-        (acc, _, _), (accs, digs) = jax.lax.scan(
+        (_, _), accs = jax.lax.scan(
             tile_step,
-            (zero_pt, jnp.full((m,), -9, jnp.int32), jnp.int32(0)),
-            (steps_dig, steps_pts),
-        )
-        # an emitted (acc, dig) at step j is a FINAL partial iff step j+1
-        # opens a new run or j == K-1
-        nxt_dig = jnp.concatenate([steps_dig[1:], jnp.full((1, m), -8, jnp.int32)])
-        closed = nxt_dig != steps_dig  # (K, m)
+            (zero_pt, jnp.full((wg * m,), -9, jnp.int32)),
+            (ord3, dig3),
+        )  # leaves (K, 32, Wg*m)
 
-        # flatten back to sorted-stream order: (K, m) -> (m, K) -> (n,)
-        flat_closed = jnp.transpose(closed).reshape(n)
-        flat_dig = jnp.where(flat_closed, jnp.transpose(digs).reshape(n), -1)
-        flat_pts = _tree_map_point(
-            lambda c: jnp.transpose(c, (1, 2, 0)).reshape(c.shape[1], n), accs
+        # a partial emitted at step j is FINAL iff step j+1 (same tile)
+        # opens a new run, or j == K-1 (runs spanning tiles are merged by
+        # the segmented scan below — compaction preserves sorted order)
+        nxt_dig = jnp.concatenate(
+            [dig3[1:], jnp.full((1, wg, m), -8, jnp.int32)], axis=0
         )
+        closed = nxt_dig != dig3  # (K, Wg, m)
 
-        # compact the partials (order-preserving): at most 256 + m of them
-        p_cap = NUM_BUCKETS + m
-        p_cap += (-p_cap) % 128
-        pos = jnp.cumsum(flat_closed.astype(jnp.int32)) - 1
-        idx = jnp.where(flat_closed, pos, p_cap)
-        comp_dig = jnp.full((p_cap + 1,), -3, jnp.int32).at[idx].set(flat_dig)[:p_cap]
+        # per-window compacted positions (sorted-stream order = (t, j))
+        flat_closed = jnp.transpose(closed, (1, 2, 0)).reshape(wg, n)
+        p_cap = m_buckets + m
+        p_cap += (-p_cap) % 1024  # keep Wg·P lanes on the Pallas tile grid
+        pos = jnp.cumsum(flat_closed.astype(jnp.int32), axis=1) - 1
+        idx_flat = jnp.where(flat_closed, pos, p_cap)
+        idx3 = jnp.transpose(idx_flat.reshape(wg, m, k), (2, 0, 1))  # (K,Wg,m)
+        widx = jnp.broadcast_to(jnp.arange(wg)[None, :, None], idx3.shape)
+
+        comp_dig = (
+            jnp.full((wg, p_cap + 1), -3, jnp.int32)
+            .at[widx, idx3]
+            .set(dig3)[:, :p_cap]
+        )
         comp_pts = _tree_map_point(
-            lambda c: jnp.zeros((c.shape[0], p_cap + 1), c.dtype)
-            .at[:, idx]
-            .set(c)[:, :p_cap],
-            flat_pts,
+            lambda c_: jnp.zeros((c_.shape[1], wg, p_cap + 1), c_.dtype)
+            .at[:, widx, idx3]
+            .set(jnp.moveaxis(c_.reshape(k, c_.shape[1], wg, m), 0, 1))[
+                :, :, :p_cap
+            ],
+            accs,
         )
 
-        acc2 = self._seg_scan_runs(comp_pts, comp_dig)
-        return self._runs_to_buckets(acc2, comp_dig)
+        scanned = self._seg_scan_runs(comp_pts, comp_dig)
+        return self._runs_to_buckets(scanned, comp_dig, m_buckets)
 
-    def _window_sums(self, points, windows):
-        """points: batched point pytree (N lanes); windows: (W, N) digits.
-        Returns window-sum points with W lanes (window w in lane w)."""
+    def _small_buckets(self, points, digits, m_buckets: int):
+        """Small-N path: all windows in lanes, one sort + one segmented
+        scan over the raw sorted stream (no tiling)."""
+        order = jnp.argsort(digits, axis=1)
+        sdig = jnp.take_along_axis(digits, order, axis=1)
+        spts = _tree_map_point(lambda c_: c_[:, order], points)  # (32, W, N)
+        scanned = self._seg_scan_runs(spts, sdig)
+        return self._runs_to_buckets(scanned, sdig, m_buckets)
+
+    def _reduce_buckets(self, buckets, c: int):
+        """Σ_b b·B_b per window, parallel: chunk b = q·D + j, run the
+        double-running-sum over j only (D steps, W·Q-wide lanes — never the
+        classic O(2^c) serial scan), then combine the Q chunk aggregates
+        with a second (short, Q-step) double-running scan:
+        Σ_b b·B_b = D·Σ_q q·S_q + Σ_q T_q.  buckets leaves (32, W, M);
+        returns leaves (32, W)."""
         F = self.bg.F
-        w = windows.shape[0]
+        m_buckets = 1 << c
+        w = jax.tree.leaves(buckets)[0].shape[1]
+        d_chunk = 64 if m_buckets >= 4096 else min(16, m_buckets)
+        q_chunk = m_buckets // d_chunk
 
-        def per_window(_, digits):
-            return None, self._segmented_bucket_sums(points, digits)
+        # (32, W, M) -> (D, 32, W, Q) with j (minor bucket index) on scan axis
+        def to_scan(c_):
+            return jnp.moveaxis(
+                c_.reshape(c_.shape[0], w, q_chunk, d_chunk), -1, 0
+            )
 
-        _, buckets = jax.lax.scan(per_window, None, windows)
-        # leaves (W, 32, NUM_BUCKETS) -> (NUM_BUCKETS, 32, W): bucket index on
-        # the scan axis, windows batched in lanes
-        buckets = _tree_map_point(lambda c: jnp.transpose(c, (2, 1, 0)), buckets)
-        # b = 255 .. 1 (bucket 0 contributes nothing)
-        buckets = _tree_map_point(lambda c: jnp.flip(c[1:], axis=0), buckets)
+        b4 = _tree_map_point(to_scan, buckets)
+        b4 = _tree_map_point(lambda c_: jnp.flip(c_, 0), b4)  # j = D-1 first
 
-        zero = self.bg.zeros(w)
+        zero = _tree_map_point(
+            lambda c_: jnp.zeros_like(c_[0]), b4
+        )  # (32, W, Q)
 
-        def reduce_body(state, bucket_b):
-            running, total = state
-            running = jacobian_add(F, running, bucket_b)
-            total = jacobian_add(F, total, running)
-            return (running, total), None
+        def body(carry, bj):
+            running, tacc = carry
+            running = jacobian_add(F, running, bj)
+            tacc = jacobian_add(F, tacc, running)
+            return (running, tacc), None
 
-        (_, total), _ = jax.lax.scan(reduce_body, (zero, zero), buckets)
-        return total
+        upper = _tree_map_point(lambda c_: c_[: d_chunk - 1], b4)  # j=D-1..1
+        (running, t_sum), _ = jax.lax.scan(body, (zero, zero), upper)
+        b0 = _tree_map_point(lambda c_: c_[d_chunk - 1], b4)  # j = 0
+        s_sum = jacobian_add(F, running, b0)  # S_q, leaves (32, W, Q)
+
+        # combine chunks: Σ_q q·S_q (double-running over q) and Σ_q T_q
+        # (plain running), both in ONE Q-step scan at W lanes
+        def chunk_scan(c_):
+            return jnp.flip(jnp.moveaxis(c_, -1, 0), 0)  # (Q, 32, W), q desc
+
+        sq = _tree_map_point(chunk_scan, s_sum)
+        tq = _tree_map_point(chunk_scan, t_sum)
+        zero_w = _tree_map_point(lambda c_: jnp.zeros_like(c_[0]), sq)
+
+        def body2(carry, xs):
+            s_j, t_j = xs
+            run_s, inner, tot_t = carry
+            run_s = jacobian_add(F, run_s, s_j)
+            inner = jacobian_add(F, inner, run_s)
+            tot_t = jacobian_add(F, tot_t, t_j)
+            return (run_s, inner, tot_t), None
+
+        upper_s = _tree_map_point(lambda c_: c_[: q_chunk - 1], sq)  # q desc
+        (_, inner, tot_t), _ = jax.lax.scan(
+            body2, (zero_w, zero_w, zero_w), (upper_s, _tree_map_point(lambda c_: c_[: q_chunk - 1], tq))
+        )
+        # q = 0 contributes only to Σ T_q
+        tot_t = jacobian_add(
+            F, tot_t, _tree_map_point(lambda c_: c_[q_chunk - 1], tq)
+        )
+        for _ in range(d_chunk.bit_length() - 1):  # × D
+            inner = jacobian_double(F, inner)
+        return jacobian_add(F, inner, tot_t)
+
+    def _window_sums(self, points, digits, c: int):
+        """points: AFFINE batched point pytree (N lanes, z ∈ {0, 1});
+        digits: (W, N) radix-2^c digits.  Returns window-sum points with W
+        lanes (window w in lane w)."""
+        w, n = digits.shape
+        m_buckets = 1 << c
+        if n < self.tile_threshold:
+            buckets = self._small_buckets(points, digits, m_buckets)
+        else:
+            wg = self._group_size(n, w)
+            parts = []
+            for g0 in range(0, w, wg):
+                parts.append(
+                    self._group_buckets(points, digits[g0 : g0 + wg], m_buckets)
+                )
+            buckets = _tree_map_point(
+                lambda *xs: jnp.concatenate(xs, axis=1), *parts
+            )
+        return self._reduce_buckets(buckets, c)
+
+    def window_sums_device(self, aff_points, limbs, c: int):
+        """Traced device entry for fused programs: affine points + (32, N)
+        base-256 scalar limbs -> window sums, leaves (32, W)."""
+        return self._window_sums(aff_points, digits_from_limbs(limbs, c), c)
 
     # ------------------------------------------------------------------
-    # host entry
+    # jit cache + host entry
     # ------------------------------------------------------------------
+    def _get_jit(self, c: int):
+        key = ("full", c)
+        if key not in self._jits:
+
+            def run(pts, limbs):
+                aff = self.bg._to_affine_impl(pts)
+                return self.window_sums_device(aff, limbs, c)
+
+            self._jits[key] = jax.jit(run, static_argnames=())
+        return self._jits[key]
+
     def msm(self, host_points, host_scalars: Sequence[int]):
-        """Σ sᵢ·Pᵢ.  host_points: reference-style Jacobian points;
-        returns one host Jacobian point (projectively equal to the
-        reference's serial result)."""
+        """Σ sᵢ·Pᵢ.  host_points: reference-style Jacobian points; returns
+        one host Jacobian point (projectively equal to the reference's
+        serial result, snark.go:265-286)."""
         assert len(host_points) == len(host_scalars)
         n = len(host_points)
         if n == 0:
             return self.host_group.zero()
-        # pad to a multiple of 128 lanes with identity points / zero scalars
-        pad = (-n) % 128
+        pad = (-n) % self.pad_quantum(n)
         pts = list(host_points) + [self.host_group.zero()] * pad
         scs = [s % self.r for s in host_scalars] + [0] * pad
 
+        c = self.window_bits_for(n + pad)
         dev_pts = self.bg.pack(pts)
-        windows = scalars_to_windows(scs, self.r)
-        sums = self._window_sums_jit(dev_pts, windows)
-        window_pts = self.bg.unpack(sums)  # W host points, LSB window first
-
-        g = self.host_group
-        total = g.zero()
-        for wp in reversed(window_pts):
-            for _ in range(WINDOW_BITS):
-                total = g.double(total)
-            total = g.add(total, wp)
-        return total
+        limbs = scalars_to_limbs(scs, self.r)
+        sums = self._get_jit(c)(dev_pts, limbs)
+        window_pts = self.bg.unpack(sums)
+        return combine_window_sums(self.host_group, window_pts, c)

@@ -45,7 +45,8 @@ def make_sharded_prove_step(mesh: Mesh, n_points: int, n_domain: int):
     msm = ShardedMSMEngine(g1b, bn.g1, C.R, mesh)
     fs = FourStepNTT(mesh, NTTEngine(Kr))
 
-    msm_fn = msm._build()
+    ndev = mesh.devices.size
+    msm_fn = msm._build(msm.window_bits_for(max(1, n_points // ndev)))
     ntt_fwd = fs._build(n_domain, False)
     ntt_inv = fs._build(n_domain, True)
     n1, n2 = fs.split(n_domain)

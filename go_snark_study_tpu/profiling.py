@@ -31,10 +31,14 @@ class ChipModel:
     hbm_gbps: float  # HBM bandwidth bytes/s
 
 
-# conservative public figures; VPU int32 rate estimated as half the bf16
-# MAC rate of the MXU-less vector path
+# VPU int32 attainable rate: the (8, 128)-lane VPU with 4 ALU ports at
+# ~1.4 GHz gives ~5.7e12 int32 ops/s; the measured Pallas Montgomery kernel
+# sustains 602 M muls/s x 4300 ops = 2.6e12 ops/s = 45% of this model on a
+# real v5e chip (BENCH_r02), which validates the order of magnitude.  (The
+# round-1 figure of 0.9e12 was wrong — the same kernel measurably exceeds
+# it.)
 CHIP_MODELS: Dict[str, ChipModel] = {
-    "v5e": ChipModel("TPU v5e", int32_tops=0.9e12, hbm_gbps=819e9),
+    "v5e": ChipModel("TPU v5e", int32_tops=5.7e12, hbm_gbps=819e9),
     "cpu": ChipModel("host CPU", int32_tops=0.1e12, hbm_gbps=50e9),
 }
 
@@ -44,14 +48,22 @@ def kernel_cost(kind: str, n: int) -> dict:
 
     mont_mul: CIOS = 32 steps x (2 MACs of 32 rows) = 4096 int32 mul+add per
     element, + ~200 normalisation ops; reads 2x(32,n), writes (32,n) int32.
+    point_add: full Jacobian add-2007-bl = 11M + 5S = 16 muls + ~10 cheap
+    add/sub row passes; point_add_mixed: madd-2007-bl = 7M + 4S = 11 muls
+    (the MSM accumulation workhorse, curve_ops.jacobian_add_mixed).
     """
     if kind == "mont_mul":
         return {"int32_ops": 4300 * n, "bytes": 3 * 32 * 4 * n}
     if kind == "mont_add":
         return {"int32_ops": 200 * n, "bytes": 3 * 32 * 4 * n}
-    if kind == "point_add":  # ~16 muls + ~9 adds on 3 coords
-        c = kernel_cost("mont_mul", n)
-        return {"int32_ops": 25 * c["int32_ops"] // 16 * 16 // 16, "bytes": 9 * 32 * 4 * n}
+    if kind == "point_add":
+        c = kernel_cost("mont_mul", n)["int32_ops"]
+        a = kernel_cost("mont_add", n)["int32_ops"]
+        return {"int32_ops": 16 * c + 10 * a, "bytes": 9 * 32 * 4 * n}
+    if kind == "point_add_mixed":
+        c = kernel_cost("mont_mul", n)["int32_ops"]
+        a = kernel_cost("mont_add", n)["int32_ops"]
+        return {"int32_ops": 11 * c + 10 * a, "bytes": 8 * 32 * 4 * n}
     raise KeyError(kind)
 
 

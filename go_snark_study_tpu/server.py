@@ -1,13 +1,23 @@
-"""Minimal HTTP endpoint exposing the embeddable prover API.
+"""Minimal HTTP endpoint exposing the embeddable prover API + demo page.
 
-The analog of the reference's wasm demo server (wasm/server.js — an express
-static server for the browser harness).  Ours serves the four embed functions
-as JSON POST endpoints with the python stdlib only:
+The analog of the reference's wasm demo harness (wasm/server.js — an express
+static server — plus wasm/index.html:1-17 and index.js, which embeds complete
+demo vectors for the cubic circuit and drives generateProofs/verifyProofs in
+the browser).  Ours serves the four embed functions as JSON POST endpoints
+with the python stdlib only:
 
     POST /generateProofs       {circuit, setup, px, inputs}
     POST /verifyProofs         {proof, setup, publicInputs}
     POST /grothGenerateProofs  {circuit, setup, px, inputs}
     POST /grothVerifyProofs    {proof, setup, publicInputs}
+
+and the browser harness:
+
+    GET /                   demo page (prove + verify buttons, like index.js)
+    GET /demo-vectors.json  cubic-circuit demo vectors in the *String wire
+                            dialect — computed fresh at first request (the
+                            reference hardcodes its vectors in index.js; ours
+                            are generated, not copied)
 
 Run: ``python -m go_snark_study_tpu.server [port]`` (default 8080).
 """
@@ -20,7 +30,82 @@ from http.server import BaseHTTPRequestHandler, HTTPServer
 
 from . import embed
 
-__all__ = ["make_server", "main"]
+__all__ = ["make_server", "main", "demo_vectors"]
+
+_DEMO_CACHE: dict = {}
+
+
+def demo_vectors() -> dict:
+    """Compile the cubic circuit (y = x^3 + x + 5, x=3, y=35 — the same demo
+    the reference's wasm/index.js ships), run the Pinocchio trusted setup,
+    and return everything the demo page needs, in the decimal *String wire
+    dialect."""
+    if _DEMO_CACHE:
+        return _DEMO_CACHE
+    from .api import compile_circuit
+    from .models import pinocchio as pgh
+    from .utils import base10
+
+    src = (
+        "func main(private s0, public s1):\n"
+        "\ts2 = s0 * s0\n"
+        "\ts3 = s2 * s0\n"
+        "\ts4 = s3 + s0\n"
+        "\ts5 = s4 + 5\n"
+        "\tequals(s1, s5)\n"
+        "\tout = 1 * 1\n"
+    )
+    bundle = compile_circuit(source=src, private_inputs=[3], public_inputs=[35])
+    c = bundle.circuit
+    setup = pgh.generate_trusted_setup(
+        len(c.witness), c, bundle.alphas, bundle.betas, bundle.gammas
+    ).strip_toxic()
+    _DEMO_CACHE.update(
+        {
+            "circuit": base10.circuit_to_dict(c),
+            "setup": base10.setup_to_dict(setup),
+            "px": base10.arr(bundle.px),
+            "inputs": ["3"],
+            "publicInputs": ["35"],
+        }
+    )
+    return _DEMO_CACHE
+
+
+_DEMO_PAGE = """<!doctype html>
+<html><head><meta charset="utf-8"><title>go-snark-tpu demo</title></head>
+<body>
+<h3>go-snark-tpu &mdash; in-browser prove/verify demo</h3>
+<p>Cubic circuit y = x&sup3; + x + 5 with x = 3, y = 35 (the reference's
+wasm demo flow, served by the embed API instead of a wasm binary).</p>
+<button id="prove">generate proof</button>
+<button id="verify" disabled>verify proof</button>
+<pre id="out">loading demo vectors...</pre>
+<script>
+let vectors = null, proof = null;
+const out = document.getElementById("out");
+fetch("/demo-vectors.json").then(r => r.json()).then(v => {
+  vectors = v; out.textContent = "demo vectors loaded; click generate proof";
+});
+document.getElementById("prove").onclick = async () => {
+  out.textContent = "proving...";
+  const r = await fetch("/generateProofs", {method: "POST",
+    body: JSON.stringify({circuit: vectors.circuit, setup: vectors.setup,
+                          px: vectors.px, inputs: vectors.inputs})});
+  proof = await r.json();
+  out.textContent = JSON.stringify(proof, null, 1);
+  document.getElementById("verify").disabled = false;
+};
+document.getElementById("verify").onclick = async () => {
+  out.textContent = "verifying...";
+  const r = await fetch("/verifyProofs", {method: "POST",
+    body: JSON.stringify({proof: proof, setup: vectors.setup,
+                          publicInputs: vectors.publicInputs})});
+  out.textContent = JSON.stringify(await r.json());
+};
+</script>
+</body></html>
+"""
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -32,6 +117,22 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_header("Content-Length", str(len(data)))
         self.end_headers()
         self.wfile.write(data)
+
+    def do_GET(self) -> None:  # noqa: N802 (stdlib API)
+        if self.path in ("/", "/index.html"):
+            data = _DEMO_PAGE.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+        elif self.path == "/demo-vectors.json":
+            try:
+                self._reply(200, demo_vectors())
+            except Exception as e:
+                self._reply(500, {"error": str(e)})
+        else:
+            self._reply(404, {"error": f"unknown path {self.path}"})
 
     def do_POST(self) -> None:  # noqa: N802 (stdlib API)
         try:

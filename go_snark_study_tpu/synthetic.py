@@ -49,6 +49,30 @@ class SparseR1CS:
     C: List[Dict[int, int]] = field(default_factory=list)
     witness: List[int] = field(default_factory=list)
 
+    @classmethod
+    def from_circuit(cls, circuit, witness=None, r: int = FR_MOD) -> "SparseR1CS":
+        """Bridge from a DSL-compiled :class:`..circuitcompiler.Circuit` to
+        the sparse form the TPU fast prover consumes — this is what lets
+        flat-code circuits (cli `compile`) run through FastGroth16 instead
+        of the O(n^2) monomial parity path (cli/main.go:455-505 analog).
+
+        The witness may be the raw-integer reference witness; it is reduced
+        mod r here (the fast path is field-semantics end to end)."""
+        rows = lambda dense: [
+            {i: c % r for i, c in enumerate(row) if c % r} for row in dense
+        ]
+        w = witness if witness is not None else circuit.witness
+        sys_ = cls(
+            n_constraints=len(circuit.r1cs.A),
+            n_signals=circuit.n_signals,
+            n_public=circuit.n_public,
+            A=rows(circuit.r1cs.A),
+            B=rows(circuit.r1cs.B),
+            C=rows(circuit.r1cs.C),
+            witness=[x % r for x in w],
+        )
+        return sys_
+
     def check(self, r: int = FR_MOD) -> bool:
         w = self.witness
         dot = lambda row: sum(c * w[i] for i, c in row.items()) % r

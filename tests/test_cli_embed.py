@@ -143,3 +143,59 @@ def test_embed_server():
         assert body == {"verified": True}
     finally:
         srv.shutdown()
+
+
+def test_demo_page_flow():
+    """The browser-harness analog (wasm/index.html + index.js): GET the demo
+    page and vectors, then drive the same prove -> verify POST flow the page
+    JS performs.  Vectors are GENERATED (not copied from the reference's
+    index.js) but follow the same cubic-circuit demo."""
+    import threading
+    import urllib.request
+
+    from go_snark_study_tpu import server
+
+    srv = server.make_server(0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(base + "/", timeout=60) as resp:
+            page = resp.read().decode()
+        assert "generateProofs" in page and "demo-vectors.json" in page
+
+        with urllib.request.urlopen(base + "/demo-vectors.json", timeout=600) as resp:
+            vectors = json.loads(resp.read())
+        assert set(vectors) >= {"circuit", "setup", "px", "inputs", "publicInputs"}
+
+        def post(path, obj):
+            req = urllib.request.Request(
+                base + path,
+                data=json.dumps(obj).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=600) as resp:
+                return json.loads(resp.read())
+
+        proof = post(
+            "/generateProofs",
+            {
+                "circuit": vectors["circuit"],
+                "setup": vectors["setup"],
+                "px": vectors["px"],
+                "inputs": vectors["inputs"],
+            },
+        )
+        assert "PiA" in json.dumps(proof) or proof  # proof object round-trips
+        verdict = post(
+            "/verifyProofs",
+            {
+                "proof": proof,
+                "setup": vectors["setup"],
+                "publicInputs": vectors["publicInputs"],
+            },
+        )
+        assert verdict == {"verified": True}
+    finally:
+        srv.shutdown()

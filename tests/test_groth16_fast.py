@@ -57,3 +57,50 @@ def test_fixed_base_matches_host():
     got = fb.batch_mul(scalars)
     for s, p in zip(scalars, got):
         assert bn.g1.equal(p, bn.g1.mul_scalar(bn.g1.g, s))
+
+
+def test_fast_groth16_from_dsl_circuit(fast):
+    """DSL-compiled cubic circuit (README.md:54-66's y = x^3 + x + 5)
+    through the Circuit -> SparseR1CS bridge and the TPU fast prover;
+    verifies under the unchanged groth16 verifier (cli/main.go:455-505's
+    flow, fast-path variant)."""
+    import random
+
+    from go_snark_study_tpu.circuitcompiler import parse_source
+    from go_snark_study_tpu.synthetic import SparseR1CS
+
+    src = (
+        "func main(private s0, public s1):\n"
+        "\ts2 = s0 * s0\n"
+        "\ts3 = s2 * s0\n"
+        "\ts4 = s3 + s0\n"
+        "\ts5 = s4 + 5\n"
+        "\tequals(s1, s5)\n"
+        "\tout = 1 * 1\n"
+    )
+    circuit = parse_source(src)
+    w = circuit.calculate_witness([3], [35])
+    circuit.generate_r1cs()
+    sparse = SparseR1CS.from_circuit(circuit, witness=w)
+    assert sparse.check()
+
+    rng = random.Random(5)
+    setup = fast.setup(sparse, rng=rng)
+    proof = fast.prove(sparse, setup.pk, rng=rng)
+    publics = sparse.witness[1 : sparse.n_public + 1]
+    assert groth16.verify_proof(setup.vk, proof, publics)
+    assert not groth16.verify_proof(setup.vk, proof, [publics[0] + 1])
+
+
+def test_fast_prove_from_host_pk_roundtrip(fast):
+    """A host-materialised Pk (e.g. loaded from trustedsetup.json) must
+    rebuild its device key and prove identically."""
+    import random
+
+    sys_ = mul_chain_r1cs(30, seed=4)
+    setup = fast.setup(sys_, rng=random.Random(1))
+    # simulate a serialization round-trip: drop the device key
+    setup.pk._device = None
+    proof = fast.prove(sys_, setup.pk, rng=random.Random(2))
+    publics = sys_.witness[1 : sys_.n_public + 1]
+    assert groth16.verify_proof(setup.vk, proof, publics)
