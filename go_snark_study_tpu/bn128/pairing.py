@@ -214,12 +214,42 @@ class Bn128:
 
     def mul_by_024(self, a, ell_0, ell_vw, ell_vv):
         """Sparse Fq12 multiplication by a line value with nonzero
-        coefficients at w^0, w^2, w^4 only (bn128.go:402-416).  Kept as a
-        full-shape mul like the reference (sparse-specialisation is a later
-        verifier optimisation; it is not on the hot path)."""
-        fq2 = self.fq2
-        b = ((ell_0, fq2.zero(), ell_vv), (fq2.zero(), ell_vw, fq2.zero()))
-        return self.fq12.mul(a, b)
+        coefficients at w^0, w^2, w^4 only (bn128.go:402-416 — the reference
+        uses a full-shape mul; this exploits the sparsity: 15 Fq2 muls vs
+        the dense mul's 18, bit-identical result, asserted against the dense
+        form in the test suite).
+
+        Layout: b = (b0, b1) over Fq6 with b0 = (x0, 0, x2), b1 = (0, y1, 0)
+        where x0 = ell_0, y1 = ell_vw, x2 = ell_vv.  Karatsuba over Fq6:
+        c0 = a0·b0 + γ·(a1·b1), c1 = (a0+a1)(b0+b1) − a0·b0 − a1·b1 with the
+        sparse products expanded component-wise (v³ = ξ)."""
+        fq2, fq6 = self.fq2, self.fq6
+        a0, a1 = a
+        x0, y1, x2 = ell_0, ell_vw, ell_vv
+        xi = fq6.mul_by_non_residue  # Fq2 -> Fq2, multiply by ξ = 9 + u
+
+        # t0 = a0 · (x0, 0, x2): 6 Fq2 muls
+        t0 = (
+            fq2.add(fq2.mul(a0[0], x0), xi(fq2.mul(a0[1], x2))),
+            fq2.add(fq2.mul(a0[1], x0), xi(fq2.mul(a0[2], x2))),
+            fq2.add(fq2.mul(a0[2], x0), fq2.mul(a0[0], x2)),
+        )
+        # t1 = a1 · (0, y1, 0): 3 Fq2 muls
+        t1 = (
+            xi(fq2.mul(a1[2], y1)),
+            fq2.mul(a1[0], y1),
+            fq2.mul(a1[1], y1),
+        )
+        # c0 = t0 + γ·t1 where γ = w² = v: (B0,B1,B2) -> (ξB2, B0, B1)
+        c0 = (
+            fq2.add(t0[0], xi(t1[2])),
+            fq2.add(t0[1], t1[0]),
+            fq2.add(t0[2], t1[1]),
+        )
+        # c1 = (a0+a1)·(x0, y1, x2) − t0 − t1: one dense Fq6 mul (6 muls)
+        s = fq6.mul(fq6.add(a0, a1), (x0, y1, x2))
+        c1 = fq6.sub(fq6.sub(s, t0), t1)
+        return (c0, c1)
 
     def miller_loop(self, pre1, pre2: G2Precomp):
         """Reference: bn128.go:348-400."""

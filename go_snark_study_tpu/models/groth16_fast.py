@@ -345,6 +345,63 @@ class FastGroth16:
         return self._prove_jits[key]
 
     # ------------------------------------------------------------------
+    def prove_sharded(self, r1cs: SparseR1CS, pk: Pk, mesh, rng=None) -> Proof:
+        """Multi-chip prove: the witness/H MSMs run data-parallel over the
+        mesh (points sharded, window sums combined with all_gather + tree
+        adds — :mod:`..parallel.sharded_msm`); H(x) comes from the same NTT
+        coset pipeline.  Proof assembly is identical to :meth:`prove` and
+        verifies under the unchanged verifier.  Requires a host-materialised
+        Pk (the sharded engines pack per call)."""
+        from ..parallel.sharded_msm import ShardedMSMEngine
+
+        ctx = self.ctx
+        r = C.R
+        g1, g2 = ctx.bn.g1, ctx.bn.g2
+        w = [x % r for x in r1cs.witness]
+        n = _next_pow2(r1cs.n_constraints)
+        lo = r1cs.n_public + 1
+
+        key = ("sharded", id(mesh))
+        if not hasattr(self, "_sharded_engines"):
+            self._sharded_engines = {}
+        if key not in self._sharded_engines:
+            self._sharded_engines[key] = (
+                ShardedMSMEngine(self.g1b, g1, C.R, mesh),
+                ShardedMSMEngine(self.g2b, g2, C.R, mesh),
+            )
+        msm1, msm2 = self._sharded_engines[key]
+
+        r_rand = ctx.rand_fr(rng)
+        s_rand = ctx.rand_fr(rng)
+
+        pi_a = msm1.msm(pk.g1.at, w)
+        pi_b_g1 = msm1.msm(pk.g1.bacgamma, w)
+        pi_b = msm2.msm(pk.g2.bacgamma, w)
+        pi_c = msm1.msm(pk.bacdelta[lo:], w[lo:])
+
+        # H(x) on device (single-program NTT pipeline), digits -> sharded MSM
+        a_e, b_e, c_e = r1cs.row_evals()
+        pad = n - len(a_e)
+        dev = lambda v: self.Kr.pack(list(v) + [0] * pad)
+        h_pipe = jax.jit(self._h_pipeline(n))
+        hx = self.Kr.unpack(h_pipe(dev(a_e), dev(b_e), dev(c_e)))
+        pi_h = msm1.msm(pk.powers_tau_delta[: len(hx)], hx)
+
+        pi_a = g1.add(pi_a, pk.g1.alpha)
+        pi_a = g1.add(pi_a, g1.mul_scalar(pk.g1.delta, r_rand))
+        pi_b_g1 = g1.add(pi_b_g1, pk.g1.beta)
+        pi_b = g2.add(pi_b, pk.g2.beta)
+        pi_b_g1 = g1.add(pi_b_g1, g1.mul_scalar(pk.g1.delta, s_rand))
+        pi_b = g2.add(pi_b, g2.mul_scalar(pk.g2.delta, s_rand))
+
+        pi_c = g1.add(pi_c, pi_h)
+        pi_c = g1.add(pi_c, g1.mul_scalar(pi_a, s_rand))
+        pi_c = g1.add(pi_c, g1.mul_scalar(pi_b_g1, r_rand))
+        neg_rs = (-(r_rand * s_rand)) % r
+        pi_c = g1.add(pi_c, g1.mul_scalar(pk.g1.delta, neg_rs))
+        return Proof(pi_a=pi_a, pi_b=pi_b, pi_c=pi_c)
+
+    # ------------------------------------------------------------------
     def prove(self, r1cs: SparseR1CS, pk: Pk, rng=None) -> Proof:
         """TPU Groth16 prover: same assembly as groth16.generate_proofs
         (groth16.go:225-279) with NTT H(x) and fused device MSMs."""

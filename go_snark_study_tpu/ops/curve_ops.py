@@ -246,9 +246,57 @@ class _BatchGroup:
         self.F = F
         self.K = K
         self._arity = coord_arity
+        self._fused = None
         self.add = jax.jit(lambda p1, p2: jacobian_add(self.F, p1, p2))
         self.double = jax.jit(lambda p: jacobian_double(self.F, p))
         self.to_affine = jax.jit(self._to_affine_impl)
+
+    # -- fused Pallas whole-point ops (TPU; XLA formula fallback) -------
+    def _fused_ops(self):
+        if self._fused is None:
+            self._fused = {}
+            if self._arity == 1 and self.K._use_pallas():
+                from .pallas_curve import make_pallas_point_op
+
+                self._fused["madd"] = make_pallas_point_op(
+                    self.K.p, jacobian_add_mixed
+                )
+                self._fused["jadd"] = make_pallas_point_op(self.K.p, jacobian_add)
+        return self._fused
+
+    def _dispatch(self, kind: str, formula, p1, p2):
+        fused = self._fused_ops().get(kind)
+        leaves = jax.tree.leaves(p1)
+        shape = leaves[0].shape
+        lanes = 1
+        for d in shape[1:]:
+            lanes *= d
+        if fused is None or lanes < 256:
+            return formula(self.F, p1, p2)
+        pad = (-lanes) % 1024
+
+        def prep(c):
+            c = c.reshape(c.shape[0], lanes)
+            if pad:
+                c = jnp.pad(c, ((0, 0), (0, pad)))  # zero lanes = identities
+            return c
+
+        out = fused(
+            tuple(prep(c) for c in jax.tree.leaves(p1)),
+            tuple(prep(c) for c in jax.tree.leaves(p2)),
+        )
+        return jax.tree.unflatten(
+            jax.tree.structure(p1),
+            [c[:, :lanes].reshape(shape) for c in out],
+        )
+
+    def madd(self, p1, p2):
+        """Mixed add p1 (Jacobian) + p2 (affine, z in {0, 1}) — fused on TPU."""
+        return self._dispatch("madd", jacobian_add_mixed, p1, p2)
+
+    def jadd(self, p1, p2):
+        """Full Jacobian add — fused on TPU."""
+        return self._dispatch("jadd", jacobian_add, p1, p2)
 
     def is_zero(self, p):
         return self.F.is_zero(p[2])

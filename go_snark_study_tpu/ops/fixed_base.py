@@ -65,7 +65,7 @@ class FixedBaseEngine:
         def body(w, acc):
             idx = windows[w] + w * DIGITS
             pt = jax.tree.map(lambda c: c[..., idx], table)
-            return jacobian_add(F, acc, pt)
+            return self.bg.jadd(acc, pt)
 
         return jax.lax.fori_loop(0, NUM_WINDOWS, body, self.bg.zeros(n))
 

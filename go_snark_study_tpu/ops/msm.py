@@ -202,7 +202,7 @@ class MSMEngine:
             rolled_dig = jnp.roll(sdig, d, axis=-1)
             same = jnp.logical_and(lane >= d, rolled_dig == sdig)
             prev = _tree_map_point(lambda c_: jnp.roll(c_, d, axis=-1), acc)
-            summed = jacobian_add(F, acc, prev)
+            summed = self.bg.jadd(acc, prev)
             return _tree_map_point(
                 lambda s_, a_: jnp.where(same[None], s_, a_), summed, acc
             )
@@ -263,7 +263,7 @@ class MSMEngine:
             pt = _tree_map_point(lambda c_: c_[:, fid], points)
             dflat = dig.reshape(-1)
             boundary = dflat != prev_dig
-            added = jacobian_add_mixed(F, acc, pt)
+            added = self.bg.madd(acc, pt)
             acc = _tree_map_point(
                 lambda p_, a_: jnp.where(boundary[None], p_, a_), pt, added
             )
@@ -346,14 +346,14 @@ class MSMEngine:
 
         def body(carry, bj):
             running, tacc = carry
-            running = jacobian_add(F, running, bj)
-            tacc = jacobian_add(F, tacc, running)
+            running = self.bg.jadd(running, bj)
+            tacc = self.bg.jadd(tacc, running)
             return (running, tacc), None
 
         upper = _tree_map_point(lambda c_: c_[: d_chunk - 1], b4)  # j=D-1..1
         (running, t_sum), _ = jax.lax.scan(body, (zero, zero), upper)
         b0 = _tree_map_point(lambda c_: c_[d_chunk - 1], b4)  # j = 0
-        s_sum = jacobian_add(F, running, b0)  # S_q, leaves (32, W, Q)
+        s_sum = self.bg.jadd(running, b0)  # S_q, leaves (32, W, Q)
 
         # combine chunks: Σ_q q·S_q (double-running over q) and Σ_q T_q
         # (plain running), both in ONE Q-step scan at W lanes
@@ -367,9 +367,9 @@ class MSMEngine:
         def body2(carry, xs):
             s_j, t_j = xs
             run_s, inner, tot_t = carry
-            run_s = jacobian_add(F, run_s, s_j)
-            inner = jacobian_add(F, inner, run_s)
-            tot_t = jacobian_add(F, tot_t, t_j)
+            run_s = self.bg.jadd(run_s, s_j)
+            inner = self.bg.jadd(inner, run_s)
+            tot_t = self.bg.jadd(tot_t, t_j)
             return (run_s, inner, tot_t), None
 
         upper_s = _tree_map_point(lambda c_: c_[: q_chunk - 1], sq)  # q desc
@@ -377,12 +377,12 @@ class MSMEngine:
             body2, (zero_w, zero_w, zero_w), (upper_s, _tree_map_point(lambda c_: c_[: q_chunk - 1], tq))
         )
         # q = 0 contributes only to Σ T_q
-        tot_t = jacobian_add(
-            F, tot_t, _tree_map_point(lambda c_: c_[q_chunk - 1], tq)
+        tot_t = self.bg.jadd(
+            tot_t, _tree_map_point(lambda c_: c_[q_chunk - 1], tq)
         )
         for _ in range(d_chunk.bit_length() - 1):  # × D
             inner = jacobian_double(F, inner)
-        return jacobian_add(F, inner, tot_t)
+        return self.bg.jadd(inner, tot_t)
 
     def _window_sums(self, points, digits, c: int):
         """points: AFFINE batched point pytree (N lanes, z ∈ {0, 1});
