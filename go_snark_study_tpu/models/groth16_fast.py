@@ -296,24 +296,41 @@ class FastGroth16:
         )
         return pk._device
 
+    def _ntt_args(self, n: int):
+        """Device-resident NTT tables for domain n, passed as jit ARGUMENTS
+        (baking them as trace constants overflows the remote-compile
+        transport at 2^20 — 4 data-sized arrays ~ 0.4 GB)."""
+        ntt = self.ntt
+        return (
+            ntt.table(n, False),
+            ntt.table(n, True),
+            ntt.coset_powers(n, _COSET_G, False),
+            ntt.coset_powers(n, _COSET_G, True),
+        )
+
     def _h_pipeline(self, n: int):
         """Traced H(x) pipeline: evaluation-form a, b, c (32, n) Montgomery
-        -> H coefficients (32, n) Montgomery, via the coset trick
-        (Z = g^n - 1 is a nonzero constant off the subgroup)."""
+        + the four NTT table args -> H coefficients (32, n) Montgomery, via
+        the coset trick (Z = g^n - 1 is a nonzero constant off the
+        subgroup)."""
         r = C.R
         K, ntt = self.Kr, self.ntt
         g = _COSET_G
         zinv = pow((pow(g, n, r) - 1) % r, -1, r)
         zinv_l = K.pack_np([zinv])
+        ninv_l = K.pack_np([pow(n, -1, r)])
 
-        def pipeline(a, b, c):
-            to_coset = lambda x: ntt._get_jit(n, False)(
-                ntt.coset_shift(ntt._get_jit(n, True)(x), g=g)
+        def pipeline(a, b, c, t_fwd, t_inv, cs, cs_inv):
+            intt = lambda x: K._mul_const_impl(
+                ntt.transform(x, t_inv, True), jnp.asarray(ninv_l)
+            )
+            to_coset = lambda x: ntt.transform(
+                K._mul_impl(intt(x), cs), t_fwd, False
             )
             ac, bc, cc = to_coset(a), to_coset(b), to_coset(c)
             p = K._sub_impl(K._mul_impl(ac, bc), cc)
             hc = K._mul_const_impl(p, jnp.asarray(zinv_l))
-            return ntt.coset_shift(ntt._get_jit(n, True)(hc), g=g, inverse=True)
+            return K._mul_impl(intt(hc), cs_inv)
 
         return pipeline
 
@@ -328,12 +345,14 @@ class FastGroth16:
         h_pipe = self._h_pipeline(dpk.n)
         Kr = self.Kr
 
-        def fused(at, b1, b2, cd, pt, w_limbs, wp_limbs, a_e, b_e, c_e):
+        def fused(
+            at, b1, b2, cd, pt, w_limbs, wp_limbs, a_e, b_e, c_e, *ntt_args
+        ):
             s_at = self.msm_g1.window_sums_device(at, w_limbs, c_m)
             s_b1 = self.msm_g1.window_sums_device(b1, w_limbs, c_m)
             s_b2 = self.msm_g2.window_sums_device(b2, w_limbs, c_m)
             s_cd = self.msm_g1.window_sums_device(cd, wp_limbs, c_p)
-            h_mont = h_pipe(a_e, b_e, c_e)
+            h_mont = h_pipe(a_e, b_e, c_e, *ntt_args)
             h_plain = Kr._from_mont_impl(h_mont)  # canonical base-256 limbs
             pad = dpk.n_pad - dpk.n
             if pad:
@@ -384,7 +403,9 @@ class FastGroth16:
         pad = n - len(a_e)
         dev = lambda v: self.Kr.pack(list(v) + [0] * pad)
         h_pipe = jax.jit(self._h_pipeline(n))
-        hx = self.Kr.unpack(h_pipe(dev(a_e), dev(b_e), dev(c_e)))
+        hx = self.Kr.unpack(
+            h_pipe(dev(a_e), dev(b_e), dev(c_e), *self._ntt_args(n))
+        )
         pi_h = msm1.msm(pk.powers_tau_delta[: len(hx)], hx)
 
         pi_a = g1.add(pi_a, pk.g1.alpha)
@@ -437,6 +458,7 @@ class FastGroth16:
             dev(a_e),
             dev(b_e),
             dev(c_e),
+            *self._ntt_args(n),
         )
 
         comb1 = lambda sums, c: combine_window_sums(

@@ -255,13 +255,15 @@ class _BatchGroup:
     def _fused_ops(self):
         if self._fused is None:
             self._fused = {}
-            if self._arity == 1 and self.K._use_pallas():
+            if self.K._use_pallas():
                 from .pallas_curve import make_pallas_point_op
 
                 self._fused["madd"] = make_pallas_point_op(
-                    self.K.p, jacobian_add_mixed
+                    self.K.p, jacobian_add_mixed, arity=self._arity
                 )
-                self._fused["jadd"] = make_pallas_point_op(self.K.p, jacobian_add)
+                self._fused["jadd"] = make_pallas_point_op(
+                    self.K.p, jacobian_add, arity=self._arity
+                )
         return self._fused
 
     def _dispatch(self, kind: str, formula, p1, p2):

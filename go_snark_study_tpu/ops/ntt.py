@@ -8,9 +8,13 @@ with n·log n butterflies for the large-circuit fast path.  Fr has 2-adicity
 Implementation: decimation-in-time Cooley-Tukey on the (32, N) Montgomery
 limb layout.  Each stage is one batched Montgomery multiply of the odd lanes
 by per-position twiddles plus an add/sub pair — 3 limb-kernels per stage, all
-full-width on the lane dimension.  Stage structure (bit-reversal permutation
-and per-stage twiddle vectors) is precomputed on host per domain size and
-cached.
+full-width on the lane dimension.
+
+**No data-sized trace constants.**  Stage twiddles are strided gathers of a
+single master table T[j] = w^j (j < n/2) which is passed as a device
+ARGUMENT, and the bit-reversal permutation is computed on device from an
+iota — a 2^20-domain program embeds kilobytes, not the ~1.3 GB that baking
+per-stage tables would cost (which overflows the remote-compile transport).
 
 The multi-chip four-step (transpose / all_to_all) decomposition lives in
 :mod:`go_snark_study_tpu.parallel.sharded_ntt`.
@@ -18,7 +22,6 @@ The multi-chip four-step (transpose / all_to_all) decomposition lives in
 
 from __future__ import annotations
 
-from functools import lru_cache
 from typing import Dict, List, Tuple
 
 import jax
@@ -27,18 +30,9 @@ import numpy as np
 
 from ..bn128 import constants as C
 from .fields import fr_kernels
-from .limbs import FieldKernels
+from .limbs import LIMBS, FieldKernels
 
 __all__ = ["NTTEngine"]
-
-
-def _bit_reverse_perm(n: int) -> np.ndarray:
-    k = n.bit_length() - 1
-    idx = np.arange(n, dtype=np.int64)
-    rev = np.zeros(n, dtype=np.int64)
-    for b in range(k):
-        rev |= ((idx >> b) & 1) << (k - 1 - b)
-    return rev
 
 
 class NTTEngine:
@@ -47,138 +41,270 @@ class NTTEngine:
     def __init__(self, K: FieldKernels | None = None):
         self.K = K or fr_kernels()
         self.r = self.K.p
-        self._plans: Dict[Tuple[int, bool], tuple] = {}
-        self._fwd_jit: Dict[int, callable] = {}
+        self._masters_np: Dict[Tuple[int, bool], np.ndarray] = {}
+        self._masters_dev: Dict[Tuple[int, bool], jnp.ndarray] = {}
+        self._coset_np: Dict[Tuple[int, int, bool], np.ndarray] = {}
+        self._coset_dev: Dict[Tuple[int, int, bool], jnp.ndarray] = {}
+        self._jits: Dict[Tuple[int, bool], callable] = {}
 
     # ------------------------------------------------------------------
     def root_of_unity(self, n: int) -> int:
         assert n & (n - 1) == 0 and n.bit_length() - 1 <= C.TWO_ADICITY
         return pow(C.ROOT_OF_UNITY, 1 << (C.TWO_ADICITY - (n.bit_length() - 1)), self.r)
 
-    def _plan(self, n: int, inverse: bool):
+    def master_np(self, n: int, inverse: bool) -> np.ndarray:
+        """Master twiddle table T[j] = w^±j, j < max(1, n/2), Montgomery
+        numpy limbs.  Stage s of a length-n transform uses the strided
+        slice T[j * (n >> s)]."""
         key = (n, inverse)
-        if key in self._plans:
-            return self._plans[key]
-        w = self.root_of_unity(n)
-        if inverse:
-            w = pow(w, -1, self.r)
-        k = n.bit_length() - 1
-        rev = _bit_reverse_perm(n)  # numpy: trace constant
-        # per-stage twiddle vectors of length n/2, aligned with the butterfly
-        # pairing used below (even lanes paired with odd lanes at stride m/2)
-        stage_tw = []
-        for s in range(1, k + 1):
-            m = 1 << s
-            wm = pow(w, n // m, self.r)
-            tw = []
-            for blk in range(n // m):
-                acc = 1
-                for j in range(m // 2):
-                    tw.append(acc)
-                    acc = acc * wm % self.r
-            stage_tw.append(self.K.pack_np(tw))  # (32, n/2) Montgomery, numpy
-        ninv = self.K.pack_np([pow(n, -1, self.r)])
-        plan = (rev, stage_tw, ninv)
-        self._plans[key] = plan
-        return plan
+        if key not in self._masters_np:
+            w = self.root_of_unity(n)
+            if inverse:
+                w = pow(w, -1, self.r)
+            half = max(1, n // 2)
+            vals, acc = [], 1
+            for _ in range(half):
+                vals.append(acc)
+                acc = acc * w % self.r
+            self._masters_np[key] = self.K.pack_np(vals)
+        return self._masters_np[key]
+
+    def master(self, n: int, inverse: bool) -> jnp.ndarray:
+        key = (n, inverse)
+        if key not in self._masters_dev:
+            self._masters_dev[key] = jnp.asarray(self.master_np(n, inverse))
+        return self._masters_dev[key]
 
     # ------------------------------------------------------------------
-    def _transform(self, x: jnp.ndarray, rev, stage_tw, length: int | None = None):
-        """x: (32, n) Montgomery limbs -> transformed, natural order.
-        ``length``: per-transform length for row-batched use (stages run only
-        up to length; blocks never cross row boundaries)."""
+    @staticmethod
+    def _bitrev_gather_idx(n_t: int, total: int) -> jnp.ndarray:
+        """Device bit-reversal indices for row-batched length-n_t
+        transforms over ``total`` lanes (rows contiguous)."""
+        k = n_t.bit_length() - 1
+        g = jax.lax.iota(jnp.int32, total)
+        pos = g & (n_t - 1)
+        row = g - pos
+        rev = jnp.zeros_like(pos)
+        for b in range(k):
+            rev = rev | (((pos >> b) & 1) << (k - 1 - b))
+        return row + rev
+
+    def _transform(
+        self, x: jnp.ndarray, T: jnp.ndarray, length: int | None = None
+    ) -> jnp.ndarray:
+        """x: (32, total) Montgomery limbs -> transformed, natural order
+        per row.  ``T``: master twiddles for the per-row length (forward or
+        inverse); ``length``: per-transform length for row-batched use
+        (blocks never cross row boundaries)."""
         K = self.K
-        n = x.shape[1]
-        k = (length or n).bit_length() - 1
-        x = x[:, rev]
+        total = x.shape[1]
+        n_t = length or total
+        k = n_t.bit_length() - 1
+        if k == 0:
+            return x
+        x = x[:, self._bitrev_gather_idx(n_t, total)]
+        half_iota = jax.lax.iota(jnp.int32, total // 2)
         for s in range(1, k + 1):
             m = 1 << s
             half = m // 2
-            # view lanes as (blocks, m): evens = [:, :half], odds = [:, half:]
-            xr = x.reshape(32, n // m, m)
-            even = xr[:, :, :half].reshape(32, n // 2)
-            odd = xr[:, :, half:].reshape(32, n // 2)
-            t = K._mul_impl(odd, stage_tw[s - 1])
+            stride = n_t // m
+            xr = x.reshape(LIMBS, total // m, m)
+            even = xr[:, :, :half].reshape(LIMBS, total // 2)
+            odd = xr[:, :, half:].reshape(LIMBS, total // 2)
+            tw = T[:, (half_iota & (half - 1)) * stride]
+            t = K._mul_impl(odd, tw)
             lo = K._add_impl(even, t)
             hi = K._sub_impl(even, t)
             x = jnp.concatenate(
                 [
-                    lo.reshape(32, n // m, half),
-                    hi.reshape(32, n // m, half),
+                    lo.reshape(LIMBS, total // m, half),
+                    hi.reshape(LIMBS, total // m, half),
                 ],
                 axis=2,
-            ).reshape(32, n)
+            ).reshape(LIMBS, total)
         return x
 
-    # ------------------------------------------------------------------
-    # row-batched transforms (for the four-step sharded NTT): x holds
-    # ``rows`` independent length-n transforms in consecutive lane blocks.
-    # No 1/n scaling — callers compose scales themselves.
-    # ------------------------------------------------------------------
-    def _plan_batched(self, n: int, rows: int, inverse: bool):
-        key = (n, rows, inverse)
-        if key in self._plans:
-            return self._plans[key]
-        rev, stage_tw, _ = self._plan(n, inverse)
-        rev_t = (np.arange(rows)[:, None] * n + rev[None, :]).reshape(-1)
-        tw_t = [np.tile(tw, rows) for tw in stage_tw]
-        plan = (rev_t, tw_t)
-        self._plans[key] = plan
-        return plan
+    def _transform_batched(
+        self, x: jnp.ndarray, n: int, rows: int, inverse: bool
+    ) -> jnp.ndarray:
+        """x: (32, rows*n) -> per-row transform (no scaling).  The master
+        table here is a trace constant — callers (the four-step sharded NTT)
+        use per-row lengths of at most a few thousand lanes."""
+        T = jnp.asarray(self.master_np(n, inverse))
+        return self._transform(x, T, length=n)
 
-    def _transform_batched(self, x: jnp.ndarray, n: int, rows: int, inverse: bool):
-        """x: (32, rows*n) -> per-row transform (no scaling)."""
-        rev_t, tw_t = self._plan_batched(n, rows, inverse)
-        return self._transform(x, rev_t, tw_t, length=n)
+    # ------------------------------------------------------------------
+    # single-chip four-step path: every butterfly keeps the minor axis at
+    # n2 (or n1) >= ~1000 lanes.  The radix-2 path's early stages move
+    # sub-128-lane granules (the lane dim is 128-wide on TPU), which is
+    # what made a 2^20 transform memory-granularity-bound (~550 ms); the
+    # four-step form runs the same butterflies batched over a wide minor
+    # axis (measured ~10x faster at 2^20).
+    # ------------------------------------------------------------------
+    FOURSTEP_MIN = 1 << 14
+
+    @staticmethod
+    def split(n: int) -> Tuple[int, int]:
+        k = n.bit_length() - 1
+        n1 = 1 << (k // 2)
+        return n1, n // n1
+
+    def step_table_np(self, n: int, inverse: bool) -> np.ndarray:
+        """(32, n) twiddle table W[i1*n2 + i2] = w^(±i1·i2) for the middle
+        scaling step — data-sized, so ALWAYS passed as a jit argument."""
+        key = ("step", n, inverse)
+        if key not in self._coset_np:
+            n1, n2 = self.split(n)
+            w = self.root_of_unity(n)
+            if inverse:
+                w = pow(w, -1, self.r)
+            r = self.r
+            vals = []
+            for i1 in range(n1):
+                acc = 1
+                step = pow(w, i1, r)
+                for _ in range(n2):
+                    vals.append(acc)
+                    acc = acc * step % r
+            self._coset_np[key] = self.K.pack_np(vals)
+        return self._coset_np[key]
+
+    def _col_transform(self, x3: jnp.ndarray, n_len: int, inverse: bool):
+        """Length-``n_len`` NTTs along axis 1 of (32, n_len, B), batched
+        over the (wide) minor axis.  Master twiddles for n_len are tiny and
+        baked as constants."""
+        K = self.K
+        b_lanes = x3.shape[2]
+        k = n_len.bit_length() - 1
+        if k == 0:
+            return x3
+        t_np = self.master_np(n_len, inverse)  # (32, n_len/2), small
+        # bit-reverse rows (moves whole B-lane rows: efficient)
+        idx = np.zeros(n_len, dtype=np.int64)
+        for b in range(k):
+            idx |= ((np.arange(n_len) >> b) & 1) << (k - 1 - b)
+        x3 = x3[:, idx, :]
+        for s in range(1, k + 1):
+            m = 1 << s
+            half = m // 2
+            stride = n_len // m
+            xr = x3.reshape(LIMBS, n_len // m, m, b_lanes)
+            even = xr[:, :, :half, :]
+            odd = xr[:, :, half:, :]
+            tw = t_np[:, (np.arange(half) * stride)]  # (32, half) constant
+            twb = jnp.broadcast_to(
+                jnp.asarray(tw)[:, None, :, None], odd.shape
+            )
+            t = K._mul_impl(odd, twb)
+            lo = K._add_impl(even, t)
+            hi = K._sub_impl(even, t)
+            x3 = jnp.concatenate([lo, hi], axis=2).reshape(
+                LIMBS, n_len, b_lanes
+            )
+        return x3
+
+    def _transform_fourstep(
+        self, x: jnp.ndarray, w_table: jnp.ndarray, inverse: bool
+    ) -> jnp.ndarray:
+        """(32, n) -> (32, n) NTT in NATURAL order (no scaling):
+        column NTTs over i1 -> W[i1·i2] twiddle -> transpose -> column NTTs
+        over i2 -> flatten (result index k2·n1 + k1 lands at lane
+        k2·n1 + k1)."""
+        n = x.shape[1]
+        n1, n2 = self.split(n)
+        x3 = x.reshape(LIMBS, n1, n2)
+        x3 = self._col_transform(x3, n1, inverse)  # [k1, i2]
+        x3 = self.K._mul_impl(
+            x3.reshape(LIMBS, n), w_table
+        ).reshape(LIMBS, n1, n2)
+        x3 = jnp.swapaxes(x3, 1, 2)  # [i2, k1]
+        x3 = self._col_transform(x3, n2, inverse)  # [k2, k1]
+        return x3.reshape(LIMBS, n)
+
+    # -- unified traced entry -------------------------------------------
+    def table(self, n: int, inverse: bool) -> jnp.ndarray:
+        """The data-sized table ``transform`` needs for domain n (master
+        twiddles for the radix-2 path, the W[i1·i2] step table for the
+        four-step path), device-cached."""
+        if n >= self.FOURSTEP_MIN:
+            key = ("step", n, inverse)
+            if key not in self._coset_dev:
+                self._coset_dev[key] = jnp.asarray(self.step_table_np(n, inverse))
+            return self._coset_dev[key]
+        return self.master(n, inverse)
+
+    def transform(self, x: jnp.ndarray, table: jnp.ndarray, inverse: bool):
+        """Traced NTT (no 1/n scaling), natural order in and out; ``table``
+        must come from :meth:`table` for the same (n, inverse)."""
+        n = x.shape[1]
+        if n >= self.FOURSTEP_MIN:
+            return self._transform_fourstep(x, table, inverse)
+        return self._transform(x, table)
 
     def _get_jit(self, n: int, inverse: bool):
         key = (n, inverse)
-        if key not in self._fwd_jit:
-            rev, stage_tw, ninv = self._plan(n, inverse)
+        if key not in self._jits:
+            ninv = self.K.pack_np([pow(n, -1, self.r)])
 
-            def run(x):
-                y = self._transform(x, rev, stage_tw)
+            def run(x, T):
+                y = self.transform(x, T, inverse)
                 if inverse:
-                    y = self.K._mul_const_impl(y, ninv)
+                    y = self.K._mul_const_impl(y, jnp.asarray(ninv))
                 return y
 
-            self._fwd_jit[key] = jax.jit(run)
-        return self._fwd_jit[key]
+            self._jits[key] = jax.jit(run)
+        return self._jits[key]
 
     # ------------------------------------------------------------------
     def forward(self, x: jnp.ndarray) -> jnp.ndarray:
         """Coefficients -> evaluations on the size-n subgroup domain."""
-        return self._get_jit(x.shape[1], False)(x)
+        n = x.shape[1]
+        return self._get_jit(n, False)(x, self.table(n, False))
 
     def inverse(self, x: jnp.ndarray) -> jnp.ndarray:
         """Evaluations -> coefficients (includes the 1/n scale)."""
-        return self._get_jit(x.shape[1], True)(x)
+        n = x.shape[1]
+        return self._get_jit(n, True)(x, self.table(n, True))
 
     # ------------------------------------------------------------------
     # coset helpers (for vanishing-polynomial division: on the coset g·H,
     # Z(g w^i) = g^n - 1 is a nonzero constant)
     # ------------------------------------------------------------------
-    @lru_cache(maxsize=None)
-    def _coset_powers(self, n: int, g: int, inverse: bool):
-        if inverse:
-            g = pow(g, -1, self.r)
-        pows, acc = [], 1
-        for _ in range(n):
-            pows.append(acc)
-            acc = acc * g % self.r
-        return self.K.pack_np(pows)
+    def coset_powers_np(self, n: int, g: int, inverse: bool) -> np.ndarray:
+        key = (n, g, inverse)
+        if key not in self._coset_np:
+            gg = pow(g, -1, self.r) if inverse else g
+            pows, acc = [], 1
+            for _ in range(n):
+                pows.append(acc)
+                acc = acc * gg % self.r
+            self._coset_np[key] = self.K.pack_np(pows)
+        return self._coset_np[key]
 
-    def coset_shift(self, x: jnp.ndarray, g: int = 5, inverse: bool = False):
+    def coset_powers(self, n: int, g: int, inverse: bool) -> jnp.ndarray:
+        key = (n, g, inverse)
+        if key not in self._coset_dev:
+            self._coset_dev[key] = jnp.asarray(self.coset_powers_np(n, g, inverse))
+        return self._coset_dev[key]
+
+    def coset_shift(
+        self,
+        x: jnp.ndarray,
+        g: int = 5,
+        inverse: bool = False,
+        powers: jnp.ndarray | None = None,
+    ):
         """Multiply coefficient i by g^i (or g^-i): maps evaluations between
-        the subgroup domain H and the coset gH."""
-        n = x.shape[1]
-        return self.K._mul_impl(x, self._coset_powers(n, g, inverse))
+        the subgroup domain H and the coset gH.  Pass ``powers`` explicitly
+        inside large jitted programs (an argument, not a baked constant)."""
+        if powers is None:
+            powers = jnp.asarray(self.coset_powers_np(x.shape[1], g, inverse))
+        return self.K._mul_impl(x, powers)
 
     # ------------------------------------------------------------------
     # host conveniences
     # ------------------------------------------------------------------
     def ntt_ints(self, coeffs: List[int]) -> List[int]:
-        n = len(coeffs)
         return self.K.unpack(self.forward(self.K.pack(coeffs)))
 
     def intt_ints(self, evals: List[int]) -> List[int]:

@@ -117,26 +117,79 @@ class _RowField:
         return [z] * LIMBS
 
 
+class _RowField2:
+    """Fq2 over _RowField with beta = -1 (bn128.go:86), Karatsuba mul —
+    the in-kernel twin of curve_ops.BatchFq2.  Values: (c0, c1) row-lists."""
+
+    def __init__(self, base: _RowField):
+        self.b = base
+
+    def add(self, a, b):
+        return (self.b.add(a[0], b[0]), self.b.add(a[1], b[1]))
+
+    def sub(self, a, b):
+        return (self.b.sub(a[0], b[0]), self.b.sub(a[1], b[1]))
+
+    def mul(self, a, b):
+        F = self.b
+        v0 = F.mul(a[0], b[0])
+        v1 = F.mul(a[1], b[1])
+        t = F.mul(F.add(a[0], a[1]), F.add(b[0], b[1]))
+        return (F.sub(v0, v1), F.sub(t, F.add(v0, v1)))
+
+    def square(self, a):
+        F = self.b
+        t = F.mul(F.add(a[0], a[1]), F.sub(a[0], a[1]))
+        m = F.mul(a[0], a[1])
+        return (t, F.add(m, m))
+
+    def double(self, a):
+        return (self.b.add(a[0], a[0]), self.b.add(a[1], a[1]))
+
+    def is_zero(self, a):
+        return jnp.logical_and(self.b.is_zero(a[0]), self.b.is_zero(a[1]))
+
+    def equal(self, a, b):
+        return jnp.logical_and(self.b.equal(a[0], b[0]), self.b.equal(a[1], b[1]))
+
+    def select(self, mask, a, b):
+        return (self.b.select(mask, a[0], b[0]), self.b.select(mask, a[1], b[1]))
+
+    def zeros_like(self, a):
+        return (self.b.zeros_like(a[0]), self.b.zeros_like(a[1]))
+
+
 def _point_kernel(*refs, formula, p_rows, n0: int, arity: int):
     """refs = 3*arity input coord refs for p1, 3*arity for p2, 3*arity
     outputs; each (LIMBS, S, 128)."""
-    F = _RowField(p_rows, n0)
+    base = _RowField(p_rows, n0)
+    F = base if arity == 1 else _RowField2(base)
     nin = 3 * arity
 
     def val(ref):
         return [ref[j] for j in range(LIMBS)]
 
-    p1 = tuple(val(refs[k]) for k in range(nin))
-    p2 = tuple(val(refs[nin + k]) for k in range(nin))
-    out = formula(F, p1, p2)
+    if arity == 1:
+        p1 = tuple(val(refs[k]) for k in range(nin))
+        p2 = tuple(val(refs[nin + k]) for k in range(nin))
+        out = formula(F, p1, p2)
+        flat_out = out
+    else:
+        group = lambda off: tuple(
+            (val(refs[off + 2 * c]), val(refs[off + 2 * c + 1])) for c in range(3)
+        )
+        p1, p2 = group(0), group(nin)
+        out = formula(F, p1, p2)
+        flat_out = tuple(comp for coord in out for comp in coord)
     for k in range(nin):
-        refs[2 * nin + k][:] = jnp.stack(out[k])
+        refs[2 * nin + k][:] = jnp.stack(flat_out[k])
 
 
-def make_pallas_point_op(p: int, formula, tile: int = TILE):
-    """Build a fused point-op ``f(p1, p2) -> p3`` over Fq coordinate pytrees
+def make_pallas_point_op(p: int, formula, arity: int = 1, tile: int = TILE):
+    """Build a fused point-op ``f(p1, p2) -> p3`` over coordinate pytrees
     with leaves (32, N), N a multiple of ``tile``.  ``formula`` is one of the
-    curve_ops group-law functions taking (F, p1, p2)."""
+    curve_ops group-law functions taking (F, p1, p2); ``arity`` is the field
+    extension degree of the coordinates (1 = G1/Fq, 2 = G2/Fq2)."""
     assert tile % 128 == 0
     S = tile // 128
     p_limbs = np.frombuffer(int(p).to_bytes(LIMBS, "little"), dtype=np.uint8)
@@ -145,25 +198,30 @@ def make_pallas_point_op(p: int, formula, tile: int = TILE):
         formula=formula,
         p_rows=tuple(int(x) for x in p_limbs),
         n0=int((-pow(p, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)),
-        arity=1,
+        arity=arity,
     )
     spec = pl.BlockSpec((LIMBS, S, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
-    n_muls = 16 if formula.__name__ == "jacobian_add" else 14  # incl. double
+    n_muls = (16 if formula.__name__ == "jacobian_add" else 14) * (
+        3 if arity == 2 else 1
+    )
+    nin = 3 * arity
 
     def op(p1, p2):
-        n = p1[0].shape[1]
+        leaves1 = jax.tree.leaves(p1)
+        leaves2 = jax.tree.leaves(p2)
+        n = leaves1[0].shape[1]
         assert n % tile == 0, f"batch {n} not a multiple of tile {tile}"
         shape3 = (LIMBS, n // 128, 128)
-        args = [c.reshape(shape3) for c in (*p1, *p2)]
+        args = [c.reshape(shape3) for c in (*leaves1, *leaves2)]
         outs = pl.pallas_call(
             kernel,
             grid=(n // tile,),
-            in_specs=[spec] * 6,
-            out_specs=[spec] * 3,
-            out_shape=[jax.ShapeDtypeStruct(shape3, jnp.int32)] * 3,
+            in_specs=[spec] * (2 * nin),
+            out_specs=[spec] * nin,
+            out_shape=[jax.ShapeDtypeStruct(shape3, jnp.int32)] * nin,
             cost_estimate=pl.CostEstimate(
                 flops=4300 * n_muls * n,
-                bytes_accessed=9 * LIMBS * 4 * n,
+                bytes_accessed=3 * nin * LIMBS * 4 * n,
                 transcendentals=0,
             ),
         )(*args)
