@@ -233,6 +233,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from ..compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
     args.wasm = getattr(args, "wasm", None) == "wasm"
     try:

@@ -334,33 +334,28 @@ class FastGroth16:
 
         return pipeline
 
-    def _get_prove_jit(self, dpk: DevicePk):
-        key = (dpk.n, dpk.m_pad, dpk.mp_pad, dpk.n_pad)
+    def _get_h_jit(self, n: int, n_pad: int):
+        """Jitted H(x) program: evaluation-form a, b, c -> canonical
+        base-256 H-coefficient limbs, padded to the ptau lane count (the
+        MSM digit source).  One moderate program instead of a member of the
+        former five-MSM monolith, whose single-XLA-program form took >20 min
+        to compile at 2^16 — the MSMs now run through the eager per-group
+        pipeline (:meth:`..ops.msm.MSMEngine.window_sums_eager`)."""
+        key = ("h", n, n_pad)
         if key in self._prove_jits:
             return self._prove_jits[key]
-
-        c_m = self.msm_g1.window_bits_for(dpk.m_pad)
-        c_p = self.msm_g1.window_bits_for(dpk.mp_pad)
-        c_h = self.msm_g1.window_bits_for(dpk.n_pad)
-        h_pipe = self._h_pipeline(dpk.n)
+        h_pipe = self._h_pipeline(n)
         Kr = self.Kr
+        pad = n_pad - n
 
-        def fused(
-            at, b1, b2, cd, pt, w_limbs, wp_limbs, a_e, b_e, c_e, *ntt_args
-        ):
-            s_at = self.msm_g1.window_sums_device(at, w_limbs, c_m)
-            s_b1 = self.msm_g1.window_sums_device(b1, w_limbs, c_m)
-            s_b2 = self.msm_g2.window_sums_device(b2, w_limbs, c_m)
-            s_cd = self.msm_g1.window_sums_device(cd, wp_limbs, c_p)
+        def h_digits(a_e, b_e, c_e, *ntt_args):
             h_mont = h_pipe(a_e, b_e, c_e, *ntt_args)
             h_plain = Kr._from_mont_impl(h_mont)  # canonical base-256 limbs
-            pad = dpk.n_pad - dpk.n
             if pad:
                 h_plain = jnp.pad(h_plain, ((0, 0), (0, pad)))
-            s_h = self.msm_g1.window_sums_device(pt, h_plain, c_h)
-            return s_at, s_b1, s_b2, s_cd, s_h
+            return h_plain
 
-        self._prove_jits[key] = (jax.jit(fused), (c_m, c_p, c_h))
+        self._prove_jits[key] = jax.jit(h_digits)
         return self._prove_jits[key]
 
     # ------------------------------------------------------------------
@@ -446,20 +441,20 @@ class FastGroth16:
         pad = n - len(a_e)
         dev = lambda v: self.Kr.pack(list(v) + [0] * pad)
 
-        fused, (c_m, c_p, c_h) = self._get_prove_jit(dpk)
-        s_at, s_b1, s_b2, s_cd, s_h = fused(
-            dpk.at,
-            dpk.b1,
-            dpk.b2,
-            dpk.cdelta,
-            dpk.ptau,
-            w_limbs,
-            wp_limbs,
-            dev(a_e),
-            dev(b_e),
-            dev(c_e),
-            *self._ntt_args(n),
+        c_m = self.msm_g1.window_bits_for(dpk.m_pad)
+        c_p = self.msm_g1.window_bits_for(dpk.mp_pad)
+        c_h = self.msm_g1.window_bits_for(dpk.n_pad)
+        # five MSMs + the H pipeline, all device-resident: at/b1 share one
+        # compiled group program (same shapes, same engine), the H digits
+        # feed the ptau MSM without leaving the device
+        s_at = self.msm_g1.window_sums_eager(dpk.at, w_limbs, c_m)
+        s_b1 = self.msm_g1.window_sums_eager(dpk.b1, w_limbs, c_m)
+        s_b2 = self.msm_g2.window_sums_eager(dpk.b2, w_limbs, c_m)
+        s_cd = self.msm_g1.window_sums_eager(dpk.cdelta, wp_limbs, c_p)
+        h_digits = self._get_h_jit(n, dpk.n_pad)(
+            dev(a_e), dev(b_e), dev(c_e), *self._ntt_args(n)
         )
+        s_h = self.msm_g1.window_sums_eager(dpk.ptau, h_digits, c_h)
 
         comb1 = lambda sums, c: combine_window_sums(
             g1, self.g1b.unpack(sums), c

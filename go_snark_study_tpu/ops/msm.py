@@ -410,18 +410,78 @@ class MSMEngine:
         return self._window_sums(aff_points, digits_from_limbs(limbs, c), c)
 
     # ------------------------------------------------------------------
-    # jit cache + host entry
+    # eager (host-orchestrated, device-resident) pipeline
+    #
+    # The single-jit form above compiles every window group inline, so the
+    # 2^20 program took ~300 s to build and the prover's five-MSM monolith
+    # >20 min.  Splitting at group boundaries keeps all data device-resident
+    # (the host only sequences calls) while XLA compiles ONE group program
+    # and ONE reduction program per (c, shape) — identical windows groups
+    # reuse the same executable, and the persistent compile cache makes
+    # later processes start warm.
     # ------------------------------------------------------------------
-    def _get_jit(self, c: int):
-        key = ("full", c)
+    def _piece_jit(self, kind: str, c: int):
+        key = (kind, c)
         if key not in self._jits:
-
-            def run(pts, limbs):
-                aff = self.bg._to_affine_impl(pts)
-                return self.window_sums_device(aff, limbs, c)
-
-            self._jits[key] = jax.jit(run, static_argnames=())
+            m_buckets = 1 << c
+            if kind == "digits":
+                self._jits[key] = jax.jit(lambda l: digits_from_limbs(l, c))
+            elif kind == "group":
+                self._jits[key] = jax.jit(
+                    lambda p, d: self._group_buckets(p, d, m_buckets)
+                )
+            elif kind == "small":
+                self._jits[key] = jax.jit(
+                    lambda p, d: self._reduce_buckets(
+                        self._small_buckets(p, d, m_buckets), c
+                    )
+                )
+            elif kind == "reduce":
+                self._jits[key] = jax.jit(lambda b: self._reduce_buckets(b, c))
+            elif kind == "affine":
+                self._jits[key] = jax.jit(self.bg._to_affine_impl)
         return self._jits[key]
+
+    def window_sums_eager(self, aff_points, limbs, c: int):
+        """Affine point pytree (N lanes) + (32, N) base-256 scalar limbs ->
+        window sums, leaves (32, W).  Device-resident throughout; host code
+        only sequences per-group jitted calls (see note above)."""
+        digits = self._piece_jit("digits", c)(limbs)
+        w, n = digits.shape
+        if n < self.tile_threshold:
+            return self._piece_jit("small", c)(aff_points, digits)
+        wg = self._group_size(n, w)
+        # pad with zero-digit windows so every group has identical shape
+        # (bucket 0 carries weight 0 in the reduction, so the padded
+        # window sums are exact identities and are sliced off below)
+        wpad = (-w) % wg
+        if wpad:
+            digits = jnp.concatenate(
+                [digits, jnp.zeros((wpad, n), digits.dtype)]
+            )
+        gfn = self._piece_jit("group", c)
+        parts = [
+            gfn(aff_points, jax.lax.dynamic_slice_in_dim(digits, g0, wg, 0))
+            for g0 in range(0, w + wpad, wg)
+        ]
+        buckets = _tree_map_point(
+            lambda *xs: jnp.concatenate(xs, axis=1), *parts
+        )
+        sums = self._piece_jit("reduce", c)(buckets)
+        if wpad:
+            sums = _tree_map_point(lambda c_: c_[:, :w], sums)
+        return sums
+
+    def msm_device(self, dev_points, limbs):
+        """Device entry: Jacobian point pytree + scalar limbs -> one host
+        Jacobian point.  Affine-normalises, runs the eager pipeline, and
+        combines the W window sums exactly on host."""
+        n = jax.tree.leaves(dev_points)[0].shape[-1]
+        c = self.window_bits_for(n)
+        aff = self._piece_jit("affine", c)(dev_points)
+        sums = self.window_sums_eager(aff, limbs, c)
+        window_pts = self.bg.unpack(sums)
+        return combine_window_sums(self.host_group, window_pts, c)
 
     def msm(self, host_points, host_scalars: Sequence[int]):
         """Σ sᵢ·Pᵢ.  host_points: reference-style Jacobian points; returns
@@ -434,10 +494,6 @@ class MSMEngine:
         pad = (-n) % self.pad_quantum(n)
         pts = list(host_points) + [self.host_group.zero()] * pad
         scs = [s % self.r for s in host_scalars] + [0] * pad
-
-        c = self.window_bits_for(n + pad)
         dev_pts = self.bg.pack(pts)
         limbs = scalars_to_limbs(scs, self.r)
-        sums = self._get_jit(c)(dev_pts, limbs)
-        window_pts = self.bg.unpack(sums)
-        return combine_window_sums(self.host_group, window_pts, c)
+        return self.msm_device(dev_pts, limbs)

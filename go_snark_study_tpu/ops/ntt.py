@@ -46,6 +46,29 @@ class NTTEngine:
         self._coset_np: Dict[Tuple[int, int, bool], np.ndarray] = {}
         self._coset_dev: Dict[Tuple[int, int, bool], jnp.ndarray] = {}
         self._jits: Dict[Tuple[int, bool], callable] = {}
+        self._pl_bf = None  # fused Pallas butterfly (lazily built)
+
+    # ------------------------------------------------------------------
+    def _butterfly(self, even, odd, tw):
+        """(lo, hi) = (even + odd·tw, even - odd·tw), any shape with limbs
+        leading.  On TPU, tiled lane counts dispatch to the fused Pallas
+        butterfly kernel (:mod:`.pallas_ntt` — one pass instead of three);
+        small/off-tile shapes use the XLA limb kernels.  Bit-identical."""
+        K = self.K
+        shape = even.shape
+        lanes = 1
+        for d in shape[1:]:
+            lanes *= d
+        if K._use_pallas() and lanes % 2048 == 0:
+            if self._pl_bf is None:
+                from .pallas_ntt import make_pallas_butterfly
+
+                self._pl_bf = make_pallas_butterfly(self.r, 2048)
+            flat = lambda x: jnp.broadcast_to(x, shape).reshape(LIMBS, lanes)
+            lo, hi = self._pl_bf(flat(even), flat(odd), flat(tw))
+            return lo.reshape(shape), hi.reshape(shape)
+        t = K._mul_impl(odd, jnp.broadcast_to(tw, odd.shape))
+        return K._add_impl(even, t), K._sub_impl(even, t)
 
     # ------------------------------------------------------------------
     def root_of_unity(self, n: int) -> int:
@@ -112,9 +135,7 @@ class NTTEngine:
             even = xr[:, :, :half].reshape(LIMBS, total // 2)
             odd = xr[:, :, half:].reshape(LIMBS, total // 2)
             tw = T[:, (half_iota & (half - 1)) * stride]
-            t = K._mul_impl(odd, tw)
-            lo = K._add_impl(even, t)
-            hi = K._sub_impl(even, t)
+            lo, hi = self._butterfly(even, odd, tw)
             x = jnp.concatenate(
                 [
                     lo.reshape(LIMBS, total // m, half),
@@ -192,12 +213,8 @@ class NTTEngine:
             even = xr[:, :, :half, :]
             odd = xr[:, :, half:, :]
             tw = t_np[:, (np.arange(half) * stride)]  # (32, half) constant
-            twb = jnp.broadcast_to(
-                jnp.asarray(tw)[:, None, :, None], odd.shape
-            )
-            t = K._mul_impl(odd, twb)
-            lo = K._add_impl(even, t)
-            hi = K._sub_impl(even, t)
+            twb = jnp.asarray(tw)[:, None, :, None]
+            lo, hi = self._butterfly(even, odd, twb)
             x3 = jnp.concatenate([lo, hi], axis=2).reshape(
                 LIMBS, n_len, b_lanes
             )
