@@ -153,7 +153,7 @@ class FastGroth16:
             scs = list(scalars) + [0] * (lanes - len(scalars))
             windows = scalars_to_windows(scs, C.R)
             jac = fb.batch_mul_device(windows)
-            return bg.to_affine(jac)
+            return bg.to_affine_tiled(jac)
 
         return DevicePk(
             n=n,
@@ -279,7 +279,7 @@ class FastGroth16:
 
         def packa(bg, pts, lanes, zero):
             arr = list(pts) + [zero] * (lanes - len(pts))
-            return bg.to_affine(bg.pack(arr))
+            return bg.to_affine_tiled(bg.pack(arr))
 
         pk._device = DevicePk(
             n=n,

@@ -250,6 +250,7 @@ class _BatchGroup:
         self.add = jax.jit(lambda p1, p2: jacobian_add(self.F, p1, p2))
         self.double = jax.jit(lambda p: jacobian_double(self.F, p))
         self.to_affine = jax.jit(self._to_affine_impl)
+        self._affine_tile_jit = jax.jit(self._to_affine_impl)
 
     # -- fused Pallas whole-point ops (TPU; XLA formula fallback) -------
     def _fused_ops(self):
@@ -323,6 +324,42 @@ class _BatchGroup:
             F.select(nz, ay, zero),
             F.select(nz, one, zero),
         )
+
+    def to_affine_tiled(self, p, tile: int | None = None):
+        """Jacobian -> affine in fixed ``tile``-lane slices: one compiled
+        executable serves every lane count (identity-padded lanes map to
+        (0, 0, 0) and are sliced off).  Use for proving-key normalisation,
+        where lane counts vary per circuit but compiles through the remote
+        backend are the dominant cost."""
+        if tile is None:
+            from .fixed_base import default_tile
+
+            tile = default_tile()
+        leaves = jax.tree.leaves(p)
+        n = leaves[0].shape[-1]
+        if n == tile:
+            return self._affine_tile_jit(p)
+        pad = (-n) % tile
+
+        def prep(c):
+            return jnp.pad(c, ((0, 0),) * (c.ndim - 1) + ((0, pad),)) if pad else c
+
+        pp = jax.tree.map(prep, p)
+        parts = [
+            self._affine_tile_jit(
+                jax.tree.map(
+                    lambda c: jax.lax.dynamic_slice_in_dim(c, i, tile, c.ndim - 1),
+                    pp,
+                )
+            )
+            for i in range(0, n + pad, tile)
+        ]
+        out = (
+            parts[0]
+            if len(parts) == 1
+            else jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=-1), *parts)
+        )
+        return jax.tree.map(lambda c: c[..., :n], out) if pad else out
 
     def one_coord(self, like):
         """Field one broadcast to the lane count of ``like``."""

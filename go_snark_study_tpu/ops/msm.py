@@ -155,6 +155,7 @@ class MSMEngine:
         tile_steps: int | None = None,
         tile_lanes: int = 4096,
         group_bytes: int = 3 << 30,
+        chunk_lanes: int | None = None,
     ):
         self.bg = batch_group
         self.host_group = host_group
@@ -164,15 +165,40 @@ class MSMEngine:
         self.tile_steps = tile_steps
         self.tile_lanes = tile_lanes
         self.group_bytes = group_bytes
+        if chunk_lanes is None:
+            # canonical chunking only on the TPU backend, where remote
+            # compiles (30-300 s per shape) dominate — the CPU backend
+            # (tests) keeps the per-shape path, whose compiles are cheap
+            # and whose execution cost scales with the padded lanes
+            try:
+                if jax.default_backend() in ("tpu", "axon"):
+                    chunk_lanes = 1 << 17
+            except Exception:
+                pass
+        self.chunk_lanes = chunk_lanes
         self._jits = {}
 
     # ------------------------------------------------------------------
     # parameter selection
     # ------------------------------------------------------------------
+    def _canonical(self, n: int) -> bool:
+        """Whether n runs through the fixed-shape chunked pipeline: every
+        such MSM pads to a multiple of ``chunk_lanes`` and uses c=13, so
+        ONE compiled (digits, group, reduce) family serves all sizes — the
+        decisive property on the remote TPU backend, where each new shape
+        costs a multi-minute compile but warm chunks run in ~0.5 s."""
+        return self.chunk_lanes is not None and n >= self.tile_threshold
+
     def window_bits_for(self, n: int) -> int:
-        return self.window_bits or choose_window_bits(n)
+        if self.window_bits:
+            return self.window_bits
+        if self._canonical(n):
+            return 13
+        return choose_window_bits(n)
 
     def pad_quantum(self, n: int) -> int:
+        if self._canonical(n):
+            return self.chunk_lanes
         if n >= self.tile_threshold:
             return self.tile_steps if self.tile_steps else self.tile_lanes
         return 128
@@ -438,14 +464,63 @@ class MSMEngine:
                 )
             elif kind == "reduce":
                 self._jits[key] = jax.jit(lambda b: self._reduce_buckets(b, c))
+            elif kind == "badd":
+                self._jits[key] = jax.jit(self.bg.jadd)
             elif kind == "affine":
                 self._jits[key] = jax.jit(self.bg._to_affine_impl)
         return self._jits[key]
+
+    def _window_sums_chunked(self, aff_points, limbs, c: int):
+        """Canonical fixed-shape pipeline: the point stream is processed in
+        ``chunk_lanes``-wide slices (identity-padded to a multiple), each
+        chunk runs the SAME compiled (digits, group) programs, and per-chunk
+        bucket arrays are summed elementwise (buckets are additive across
+        point subsets) before one reduction.  Identity pad lanes carry
+        digit 0 and weight 0, so padding is exact."""
+        ch = self.chunk_lanes
+        n = jax.tree.leaves(aff_points)[0].shape[-1]
+        pad = (-n) % ch
+        if pad:
+            aff_points = _tree_map_point(
+                lambda c_: jnp.pad(c_, ((0, 0),) * (c_.ndim - 1) + ((0, pad),)),
+                aff_points,
+            )
+            limbs = jnp.pad(limbs, ((0, 0), (0, pad)))
+        w = num_windows(c)
+        wg = self._group_size(ch, w)
+        wpad = (-w) % wg
+        dfn = self._piece_jit("digits", c)
+        gfn = self._piece_jit("group", c)
+        bfn = self._piece_jit("badd", c)
+        buckets = None
+        for c0 in range(0, n + pad, ch):
+            pts = _tree_map_point(
+                lambda c_: jax.lax.dynamic_slice_in_dim(c_, c0, ch, c_.ndim - 1),
+                aff_points,
+            )
+            digits = dfn(jax.lax.dynamic_slice_in_dim(limbs, c0, ch, 1))
+            if wpad:
+                digits = jnp.concatenate(
+                    [digits, jnp.zeros((wpad, ch), digits.dtype)]
+                )
+            parts = [
+                gfn(pts, jax.lax.dynamic_slice_in_dim(digits, g0, wg, 0))
+                for g0 in range(0, w + wpad, wg)
+            ]
+            b = _tree_map_point(lambda *xs: jnp.concatenate(xs, axis=1), *parts)
+            buckets = b if buckets is None else bfn(buckets, b)
+        sums = self._piece_jit("reduce", c)(buckets)
+        if wpad:
+            sums = _tree_map_point(lambda c_: c_[:, :w], sums)
+        return sums
 
     def window_sums_eager(self, aff_points, limbs, c: int):
         """Affine point pytree (N lanes) + (32, N) base-256 scalar limbs ->
         window sums, leaves (32, W).  Device-resident throughout; host code
         only sequences per-group jitted calls (see note above)."""
+        n = jax.tree.leaves(aff_points)[0].shape[-1]
+        if self._canonical(n):
+            return self._window_sums_chunked(aff_points, limbs, c)
         digits = self._piece_jit("digits", c)(limbs)
         w, n = digits.shape
         if n < self.tile_threshold:
@@ -478,7 +553,7 @@ class MSMEngine:
         combines the W window sums exactly on host."""
         n = jax.tree.leaves(dev_points)[0].shape[-1]
         c = self.window_bits_for(n)
-        aff = self._piece_jit("affine", c)(dev_points)
+        aff = self.bg.to_affine_tiled(dev_points)
         sums = self.window_sums_eager(aff, limbs, c)
         window_pts = self.bg.unpack(sums)
         return combine_window_sums(self.host_group, window_pts, c)

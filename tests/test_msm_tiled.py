@@ -58,3 +58,47 @@ def test_tiled_zero_scalars_and_identities(tiled_engine):
     pts = [bn.g1.zero() if i % 7 == 0 else bn.g1.mul_scalar(bn.g1.g, i + 1) for i in range(n)]
     scalars = [0 if i % 5 == 0 else rng.randrange(C.R) for i in range(n)]
     assert bn.g1.equal(eng.msm(pts, scalars), _oracle(bn, pts, scalars))
+
+
+@pytest.fixture(scope="module")
+def chunked_engine():
+    """Canonical chunked pipeline (fixed-shape chunks + cross-chunk bucket
+    accumulation), exercised at small scale: chunk_lanes=512 with window
+    overrides so the CPU backend runs the exact code path the TPU uses at
+    2^17-lane chunks."""
+    bn = default_bn128()
+    return (
+        MSMEngine(
+            G1Batch(fq_kernels()),
+            bn.g1,
+            C.R,
+            window_bits=6,
+            tile_threshold=128,
+            tile_lanes=128,
+            chunk_lanes=512,
+        ),
+        bn,
+    )
+
+
+def test_chunked_multi_chunk_with_padding(chunked_engine):
+    # 1200 points -> pads to 1536 = 3 chunks of 512; identity pad lanes
+    eng, bn = chunked_engine
+    rng = random.Random(8)
+    n = 1200
+    pts = [bn.g1.mul_scalar(bn.g1.g, rng.randrange(1, 1 << 20)) for _ in range(16)] * 75
+    scalars = [rng.randrange(C.R) for _ in range(n)]
+    assert eng._canonical(n)
+    assert bn.g1.equal(eng.msm(pts, scalars), _oracle(bn, pts, scalars))
+
+
+def test_chunked_exact_multiple_and_heavy_runs(chunked_engine):
+    # exactly 2 chunks; equal-digit runs crossing the chunk boundary must
+    # merge through the cross-chunk bucket ADD (buckets are additive)
+    eng, bn = chunked_engine
+    rng = random.Random(9)
+    n = 1024
+    pts = [bn.g1.mul_scalar(bn.g1.g, (i % 8) + 1) for i in range(n)]
+    s_heavy = int.from_bytes(bytes([0x2A] * 32), "little") % C.R
+    scalars = [s_heavy] * 700 + [rng.randrange(C.R) for _ in range(n - 700)]
+    assert bn.g1.equal(eng.msm(pts, scalars), _oracle(bn, pts, scalars))
