@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import os
 
-_ENABLED = False
+_ACTIVE_DIR: str | None = None
 
 
 def default_cache_dir() -> str:
@@ -26,15 +26,16 @@ def default_cache_dir() -> str:
 
 
 def enable_compile_cache(path: str | None = None) -> str | None:
-    """Point JAX's persistent compilation cache at ``path`` (idempotent).
+    """Point JAX's persistent compilation cache at ``path`` (idempotent;
+    a second call with a DIFFERENT explicit path re-points the cache).
 
-    Returns the cache directory, or None when disabled via env."""
-    global _ENABLED
+    Returns the active cache directory, or None when disabled via env."""
+    global _ACTIVE_DIR
     if os.environ.get("GOSNARK_NO_CACHE", "") not in ("", "0"):
         return None
     path = path or default_cache_dir()
-    if _ENABLED:
-        return path
+    if _ACTIVE_DIR == path:
+        return _ACTIVE_DIR
     import jax
 
     os.makedirs(path, exist_ok=True)
@@ -42,5 +43,5 @@ def enable_compile_cache(path: str | None = None) -> str | None:
     # cache even fast compiles: the bench pipeline has many medium programs
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    _ENABLED = True
-    return path
+    _ACTIVE_DIR = path
+    return _ACTIVE_DIR

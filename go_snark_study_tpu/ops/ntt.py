@@ -34,6 +34,10 @@ from .limbs import LIMBS, FieldKernels
 
 __all__ = ["NTTEngine"]
 
+# lane tile of the fused Pallas butterfly kernel; the dispatch check and the
+# kernel construction must agree, so it lives in exactly one place
+PALLAS_BF_TILE = 2048
+
 
 class NTTEngine:
     """Forward/inverse NTT + coset helpers over Fr."""
@@ -59,11 +63,11 @@ class NTTEngine:
         lanes = 1
         for d in shape[1:]:
             lanes *= d
-        if K._use_pallas() and lanes % 2048 == 0:
+        if K._use_pallas() and lanes % PALLAS_BF_TILE == 0:
             if self._pl_bf is None:
                 from .pallas_ntt import make_pallas_butterfly
 
-                self._pl_bf = make_pallas_butterfly(self.r, 2048)
+                self._pl_bf = make_pallas_butterfly(self.r, PALLAS_BF_TILE)
             flat = lambda x: jnp.broadcast_to(x, shape).reshape(LIMBS, lanes)
             lo, hi = self._pl_bf(flat(even), flat(odd), flat(tw))
             return lo.reshape(shape), hi.reshape(shape)

@@ -13,6 +13,6 @@ package is its TPU-native counterpart, built on ``jax.sharding.Mesh`` +
                    all_to_all transpose, local row transforms
 """
 
-from .mesh import data_mesh
+from .mesh import data_mesh, hier_mesh
 
-__all__ = ["data_mesh"]
+__all__ = ["data_mesh", "hier_mesh"]

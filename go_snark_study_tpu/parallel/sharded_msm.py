@@ -29,42 +29,61 @@ __all__ = ["ShardedMSMEngine"]
 
 
 class ShardedMSMEngine(MSMEngine):
-    """MSMEngine whose device pipeline runs under shard_map on a 1-D mesh."""
+    """MSMEngine whose device pipeline runs under shard_map.
+
+    Works on a 1-D ("data",) mesh or the 2-D ("host", "data") hierarchy
+    (:func:`..parallel.mesh.hier_mesh`): lanes shard over the flattened
+    grid, and the window-sum combine is HIERARCHICAL — gather + tree-add
+    over the innermost ("data") axis first, which rides ICI within a host,
+    then over the "host" axis, so only one window-sum payload per host
+    (~10 KB) crosses DCN."""
 
     def __init__(self, batch_group, host_group, scalar_modulus: int, mesh: Mesh, **kw):
         super().__init__(batch_group, host_group, scalar_modulus, **kw)
         self.mesh = mesh
-        self.axis = mesh.axis_names[0]
+        self.axes = tuple(mesh.axis_names)
+        self.axis = self.axes if len(self.axes) > 1 else self.axes[0]
+
+    def _gather_tree_add(self, sums, axis, n: int):
+        """all_gather window sums over ``axis``, combine with a log-depth
+        tree of batched Jacobian adds (leaves (D, 32, W) -> (32, W))."""
+        F = self.bg.F
+        g = jax.tree.map(lambda x: jax.lax.all_gather(x, axis), sums)
+        # slice the gathered axis back off so every add sees the kernels'
+        # (32, W) limb-major layout, then reduce in log depth
+        parts = [jax.tree.map(lambda x: x[i], g) for i in range(n)]
+        while len(parts) > 1:
+            nxt = [
+                jacobian_add(F, parts[i], parts[i + 1])
+                for i in range(0, len(parts) - 1, 2)
+            ]
+            if len(parts) % 2:
+                nxt.append(parts[-1])
+            parts = nxt
+        return parts[0]
 
     def _build(self, c: int):
         key = ("sharded", c)
         if key in self._jits:
             return self._jits[key]
-        F = self.bg.F
-        axis = self.axis
-        ndev = self.mesh.devices.size
+        axes = self.axes
+        shape = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
 
-        point_spec = jax.tree.map(lambda _: P(None, axis), self.bg.zeros(1))
+        point_spec = jax.tree.map(lambda _: P(None, self.axis), self.bg.zeros(1))
 
         def local(points, limbs):
             aff = self.bg._to_affine_impl(points)
             sums = self.window_sums_device(aff, limbs, c)  # local shard
-            # combine across devices: gather per-device window sums, tree-add
-            gathered = jax.tree.map(
-                lambda x: jax.lax.all_gather(x, axis), sums
-            )  # leaves (D, 32, W)
-            total = jax.tree.map(lambda x: x[0], gathered)
-            for d in range(1, ndev):
-                total = jacobian_add(
-                    F, total, jax.tree.map(lambda x: x[d], gathered)
-                )
-            return total
+            # hierarchical combine: innermost axis (ICI) first, outer last
+            for ax in reversed(axes):
+                sums = self._gather_tree_add(sums, ax, shape[ax])
+            return sums
 
         self._jits[key] = jax.jit(
             shard_map(
                 local,
                 mesh=self.mesh,
-                in_specs=(point_spec, P(None, axis)),
+                in_specs=(point_spec, P(None, self.axis)),
                 out_specs=jax.tree.map(lambda _: P(), self.bg.zeros(1)),
                 check_vma=False,
             )

@@ -36,11 +36,17 @@ __all__ = ["FourStepNTT"]
 
 
 class FourStepNTT:
-    """Sharded NTT over Fr on a 1-D mesh."""
+    """Sharded NTT over Fr.
+
+    On a 1-D mesh the transposes ride the single "data" axis; on the 2-D
+    ("host", "data") hierarchy the collective axis is the flattened tuple,
+    so each ``all_to_all`` exchanges within hosts over ICI and across hosts
+    over DCN in one collective."""
 
     def __init__(self, mesh: Mesh, engine: Optional[NTTEngine] = None):
         self.mesh = mesh
-        self.axis = mesh.axis_names[0]
+        names = tuple(mesh.axis_names)
+        self.axis = names if len(names) > 1 else names[0]
         self.eng = engine or NTTEngine()
         self.K = self.eng.K
         self._jits = {}

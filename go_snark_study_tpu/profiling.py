@@ -89,11 +89,22 @@ class Profiler:
         self.times[label] += seconds
         self.calls[label] += 1
 
-    def report(self, chip: Optional[str] = None) -> str:
+    def report(self, chip: str = "v5e") -> str:
+        """Tabulate recorded timings; labels registered with a kernel kind
+        (``label@kind:n``) also get their speed-of-light efficiency on
+        ``chip``."""
         lines = [f"{'label':<36}{'calls':>6}{'total s':>10}{'per call':>12}"]
         for label in sorted(self.times):
             t, c = self.times[label], self.calls[label]
-            lines.append(f"{label:<36}{c:>6}{t:>10.3f}{t / c:>11.4f}s")
+            row = f"{label:<36}{c:>6}{t:>10.3f}{t / c:>11.4f}s"
+            if "@" in label:
+                try:
+                    kind, n = label.rsplit("@", 1)[1].split(":")
+                    sol = self.speed_of_light(label, kind, int(n), chip)
+                    row += f"  {100 * sol['efficiency']:5.1f}% SoL ({sol['bound']}-bound, {chip})"
+                except (KeyError, ValueError):
+                    pass
+            lines.append(row)
         return "\n".join(lines)
 
     def speed_of_light(self, label: str, kind: str, n: int, chip: str = "v5e") -> dict:

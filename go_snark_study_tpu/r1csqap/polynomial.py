@@ -12,7 +12,8 @@ Two deliberate divergences (SURVEY §7.4 quirks table):
     size.  For small n the values are identical.
   * nothing here is O(n^2)-free: this module is the *parity* path.  The
     n·log n evaluation-form path used for large circuits lives in
-    :mod:`go_snark_study_tpu.ops.ntt` / :mod:`go_snark_study_tpu.r1csqap.qap`.
+    :mod:`go_snark_study_tpu.ops.ntt` /
+    :mod:`go_snark_study_tpu.models.groth16_fast`.
 """
 
 from __future__ import annotations

@@ -39,3 +39,10 @@ except Exception:
     pass
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Persistent compile cache: CPU-backend entries are keyed separately from the
+# TPU ones, so repeated test runs (locally and in the driver) skip every XLA
+# compile after the first run.
+from go_snark_study_tpu.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()

@@ -73,3 +73,31 @@ def test_coset_shift_roundtrip(eng):
     x = eng.K.pack(coeffs)
     y = eng.coset_shift(eng.coset_shift(x, g=5), g=5, inverse=True)
     assert eng.K.unpack(y) == coeffs
+
+
+def test_pallas_butterfly_matches_xla_on_tpu():
+    """Bit-identity of the fused Pallas butterfly vs the XLA limb kernels on
+    a tiled shape.  Runs only on a TPU backend (the conftest forces CPU, so
+    this is exercised in on-chip sessions / bench environments)."""
+    import jax
+    import pytest as _pytest
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        _pytest.skip("Pallas butterfly kernel is TPU-only")
+    import random
+
+    import numpy as np
+
+    from go_snark_study_tpu.ops.ntt import NTTEngine, PALLAS_BF_TILE
+
+    eng = NTTEngine()
+    K = eng.K
+    rng = random.Random(21)
+    n = PALLAS_BF_TILE
+    vals = lambda: K.pack([rng.randrange(K.p) for _ in range(n)])
+    even, odd, tw = vals(), vals(), vals()
+    lo_p, hi_p = eng._butterfly(even, odd, tw)  # lanes % TILE == 0 -> Pallas
+    t = K._mul_impl(odd, tw)
+    lo_x, hi_x = K._add_impl(even, t), K._sub_impl(even, t)
+    assert np.array_equal(np.asarray(lo_p), np.asarray(lo_x))
+    assert np.array_equal(np.asarray(hi_p), np.asarray(hi_x))

@@ -106,3 +106,47 @@ def test_sharded_prove_verify_end_to_end(mesh):
     publics = sys_.witness[1 : sys_.n_public + 1]
     assert groth16.verify_proof(setup.vk, proof, publics)
     assert not groth16.verify_proof(setup.vk, proof, [publics[0] + 1])
+
+
+@pytest.fixture(scope="module")
+def mesh2d():
+    """2-D (2 hosts x 4 chips) hierarchy on the 8 virtual devices."""
+    from go_snark_study_tpu.parallel import hier_mesh
+
+    return hier_mesh(2, 4)
+
+
+def test_hier_mesh_shape(mesh2d):
+    assert mesh2d.axis_names == ("host", "data")
+    assert mesh2d.devices.shape == (2, 4)
+
+
+def test_sharded_msm_hierarchical_matches_serial(mesh2d):
+    """Hierarchical window-sum combine (ICI gather + tree-add within the
+    data axis, then one combine per host across the host axis) must equal
+    the serial result."""
+    bn = default_bn128()
+    g1b = G1Batch(fq_kernels())
+    rng = random.Random(12)
+    n = 48
+    pts = [bn.g1.mul_scalar(bn.g1.g, rng.randrange(1, R)) for _ in range(n)]
+    scalars = [rng.randrange(R) for _ in range(n)]
+    eng = ShardedMSMEngine(g1b, bn.g1, R, mesh2d)
+    got = eng.msm(pts, scalars)
+    want = bn.g1.zero()
+    for p, s in zip(pts, scalars):
+        want = bn.g1.add(want, bn.g1.mul_scalar(p, s))
+    assert bn.g1.equal(got, want)
+
+
+def test_four_step_ntt_2d_roundtrip(mesh2d):
+    """Flattened-axis all_to_all transposes on the 2-D mesh: forward ->
+    inverse is an identity (n=64: both factors divisible by 8 devices)."""
+    eng = NTTEngine()
+    fs = FourStepNTT(mesh2d, eng)
+    n = 64
+    rng = random.Random(13)
+    coeffs = [rng.randrange(R) for _ in range(n)]
+    x = eng.K.pack(coeffs)
+    back = eng.K.unpack(fs.inverse(fs.forward(x)))
+    assert back == coeffs
