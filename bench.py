@@ -245,10 +245,17 @@ def main():
     # the stage budget starts now — warmup (tunnel-dependent) is excluded
     _STATE["budget_t0"] = time.time()
 
-    # ---------------- MSM end-to-end (headline) ----------------
-    g1b = G1Batch(Kq)
-    msm = MSMEngine(g1b, bn.g1, C.R)
-    fb_g1 = FixedBaseEngine(g1b, bn.g1, bn.g1.g, C.R)
+    # ---------------- shared engine set ----------------
+    # ONE FastGroth16 instance supplies the G1/G2 batch groups, the MSM
+    # engines, the fixed-base engines and the NTT engine for every stage,
+    # so jit caches are shared in-process: the headline MSM's compiled
+    # programs are exactly the ones the prove tiers reuse.
+    from go_snark_study_tpu.models.groth16_fast import FastGroth16
+
+    fast = FastGroth16()
+    g1b = fast.g1b
+    msm = fast.msm_g1
+    fb_g1 = fast.fb_g1
 
     @stage("msm", est=120)
     def _msm():
@@ -312,7 +319,7 @@ def main():
     # ---------------- NTT at the 2^20 target ----------------
     @stage("ntt", est=60)
     def _ntt():
-        eng = NTTEngine(Kr)
+        eng = fast.ntt
         nd = int(os.environ.get("GOSNARK_BENCH_NTT", 1 << 20))
         nlog = nd.bit_length() - 1
         x = jnp.asarray(
@@ -340,10 +347,7 @@ def main():
         if t.strip()
     ]
     from go_snark_study_tpu.models import groth16 as g16m
-    from go_snark_study_tpu.models.groth16_fast import FastGroth16
     from go_snark_study_tpu.synthetic import mul_chain_r1cs
-
-    fast = FastGroth16()
 
     def _tier(clog, est):
         @stage(f"prove_2^{clog}", est=est)

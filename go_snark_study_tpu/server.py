@@ -43,7 +43,7 @@ def demo_vectors() -> dict:
     if _DEMO_CACHE:
         return _DEMO_CACHE
     from .api import compile_circuit
-    from .models import pinocchio as pgh
+    from .models import groth16 as g16, pinocchio as pgh
     from .utils import base10
 
     src = (
@@ -60,10 +60,14 @@ def demo_vectors() -> dict:
     setup = pgh.generate_trusted_setup(
         len(c.witness), c, bundle.alphas, bundle.betas, bundle.gammas
     ).strip_toxic()
+    gsetup = g16.generate_trusted_setup(
+        len(c.witness), c, bundle.alphas, bundle.betas, bundle.gammas
+    ).strip_toxic()
     _DEMO_CACHE.update(
         {
             "circuit": base10.circuit_to_dict(c),
             "setup": base10.setup_to_dict(setup),
+            "grothSetup": base10.groth_setup_to_dict(gsetup),
             "px": base10.arr(bundle.px),
             "inputs": ["3"],
             "publicInputs": ["35"],
@@ -77,27 +81,58 @@ _DEMO_PAGE = """<!doctype html>
 <body>
 <h3>go-snark-tpu &mdash; in-browser prove/verify demo</h3>
 <p>Cubic circuit y = x&sup3; + x + 5 with x = 3, y = 35 (the reference's
-wasm demo flow, served by the embed API instead of a wasm binary).</p>
-<button id="prove">generate proof</button>
-<button id="verify" disabled>verify proof</button>
+wasm demo flow).  "In browser" runs the pure-JS BigInt prover/verifier
+(<code>/snark.js</code> &mdash; the analog of the reference's wasm-compiled
+Go prover, wasm/go-snark-wasm-wrapper.go:21-26); "on server" calls the
+Python embed API.</p>
+<button id="prove">prove in browser</button>
+<button id="verify" disabled>verify in browser</button>
+<button id="sprove">prove on server</button>
+<button id="sverify" disabled>verify on server</button>
 <pre id="out">loading demo vectors...</pre>
+<script src="/snark.js"></script>
 <script>
 let vectors = null, proof = null;
 const out = document.getElementById("out");
+const enable = () => { document.getElementById("verify").disabled = false;
+                       document.getElementById("sverify").disabled = false; };
 fetch("/demo-vectors.json").then(r => r.json()).then(v => {
-  vectors = v; out.textContent = "demo vectors loaded; click generate proof";
+  vectors = v; out.textContent = "demo vectors loaded; click a prove button";
 });
-document.getElementById("prove").onclick = async () => {
-  out.textContent = "proving...";
+document.getElementById("prove").onclick = () => {
+  out.textContent = "proving in browser...";
+  setTimeout(() => {
+    const t0 = performance.now();
+    proof = JSON.parse(gosnark.generateProofs(
+      JSON.stringify(vectors.circuit), JSON.stringify(vectors.setup),
+      JSON.stringify(vectors.px), JSON.stringify(vectors.inputs)));
+    out.textContent = "browser proof (" + (performance.now()-t0).toFixed(0) +
+      " ms):\\n" + JSON.stringify(proof, null, 1);
+    enable();
+  }, 10);
+};
+document.getElementById("verify").onclick = () => {
+  out.textContent = "verifying in browser (10 pairings)...";
+  setTimeout(() => {
+    const t0 = performance.now();
+    const res = JSON.parse(gosnark.verifyProofs(
+      JSON.stringify(proof), JSON.stringify(vectors.setup),
+      JSON.stringify(vectors.publicInputs)));
+    out.textContent = "browser verify (" + (performance.now()-t0).toFixed(0) +
+      " ms): " + JSON.stringify(res);
+  }, 10);
+};
+document.getElementById("sprove").onclick = async () => {
+  out.textContent = "proving on server...";
   const r = await fetch("/generateProofs", {method: "POST",
     body: JSON.stringify({circuit: vectors.circuit, setup: vectors.setup,
                           px: vectors.px, inputs: vectors.inputs})});
   proof = await r.json();
   out.textContent = JSON.stringify(proof, null, 1);
-  document.getElementById("verify").disabled = false;
+  enable();
 };
-document.getElementById("verify").onclick = async () => {
-  out.textContent = "verifying...";
+document.getElementById("sverify").onclick = async () => {
+  out.textContent = "verifying on server...";
   const r = await fetch("/verifyProofs", {method: "POST",
     body: JSON.stringify({proof: proof, setup: vectors.setup,
                           publicInputs: vectors.publicInputs})});
@@ -123,6 +158,17 @@ class _Handler(BaseHTTPRequestHandler):
             data = _DEMO_PAGE.encode()
             self.send_response(200)
             self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+        elif self.path == "/snark.js":
+            import os
+
+            js = os.path.join(os.path.dirname(__file__), "webclient", "snark.js")
+            with open(js, "rb") as f:
+                data = f.read()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/javascript")
             self.send_header("Content-Length", str(len(data)))
             self.end_headers()
             self.wfile.write(data)

@@ -199,3 +199,40 @@ def test_demo_page_flow():
         assert verdict == {"verified": True}
     finally:
         srv.shutdown()
+
+
+def test_snark_js_served_and_demo_has_groth_vectors():
+    """The client-side prover assets: /snark.js is served with the four
+    wasm-wrapper-parity functions present, and the demo vectors carry a
+    Groth16 setup alongside the Pinocchio one."""
+    import threading
+    import urllib.request
+
+    from go_snark_study_tpu import server
+
+    srv = server.make_server(0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/snark.js", timeout=30
+        ) as resp:
+            js = resp.read().decode()
+        for fn in (
+            "generateProofs",
+            "verifyProofs",
+            "grothGenerateProofs",
+            "grothVerifyProofs",
+        ):
+            assert f"function {fn}(" in js
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/demo-vectors.json", timeout=120
+        ) as resp:
+            vectors = json.loads(resp.read())
+        assert "grothSetup" in vectors and "setup" in vectors
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/", timeout=30) as resp:
+            page = resp.read().decode()
+        assert "/snark.js" in page and "prove in browser" in page
+    finally:
+        srv.shutdown()
