@@ -134,14 +134,20 @@ signal.signal(signal.SIGINT, _on_signal)
 
 
 def _watchdog():
-    """Heartbeat + hard wall cap.  Runs as a daemon thread: even if the
+    """Heartbeat + hard wall caps.  Runs as a daemon thread: even if the
     main thread is stuck inside a blocking native call (tunnel stall), the
-    partial JSON still lands and the process exits nonzero."""
+    partial JSON still lands and the process exits nonzero.  A warmup that
+    outlives WARMUP_CAP aborts immediately — nothing useful can follow a
+    device that never answered."""
     while True:
         time.sleep(30)
         wall = time.time() - T0
         stage_s = time.time() - _STATE["stage_t0"]
         log(f"[hb] stage={_STATE['stage']} stage_wall={stage_s:.0f}s total={wall:.0f}s")
+        if _STATE["stage"] == "device_warmup" and stage_s > WARMUP_CAP:
+            log("WARMUP CAP hit — device unreachable, force-finalizing")
+            finalize(note="device warmup exceeded cap (tunnel stall)")
+            os._exit(3)
         if wall > WARMUP_CAP + BUDGET + 60:
             log(f"HARD CAP hit in stage {_STATE['stage']} — force-finalizing")
             finalize(note=f"hard wall cap during {_STATE['stage']}")
@@ -182,6 +188,20 @@ def main():
     enable_compile_cache()
 
     import jax
+
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        # CPU smoke runs: the axon TPU-relay plugin is registered by this
+        # image's sitecustomize in every process; with it registered, the
+        # first transfer dials the (possibly wedged) tunnel EVEN FOR CPU
+        # ARRAYS.  Drop it, exactly like __graft_entry__ does.
+        jax.config.update("jax_platforms", "cpu")
+        try:
+            import jax._src.xla_bridge as _xb
+
+            _xb._backend_factories.pop("axon", None)
+        except Exception:
+            pass
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -221,8 +241,42 @@ def main():
         log(f"serial baseline failed: {e}")
 
     # ---------------- device warmup (absorbs the tunnel stall) -----------
+    # The axon tunnel has good and bad periods: a process's first round-trip
+    # either answers in seconds or hangs for many minutes.  A sacrificial
+    # CANARY subprocess probes until the tunnel answers (each probe has its
+    # own short timeout, so a wedged probe is abandoned, not waited on);
+    # only then does THIS process dial the device.
     _STATE["stage"] = "device_warmup"
     _STATE["stage_t0"] = time.time()
+    import subprocess
+
+    canary_cmd = [
+        sys.executable,
+        "-c",
+        "import os, jax\n"
+        "if 'cpu' in os.environ.get('JAX_PLATFORMS', ''):\n"
+        "    jax.config.update('jax_platforms', 'cpu')\n"
+        "    import jax._src.xla_bridge as xb\n"
+        "    xb._backend_factories.pop('axon', None)\n"
+        "import jax.numpy as jnp, numpy as np\n"
+        "np.asarray(jnp.asarray(np.arange(8, dtype=np.int32)) + 1)\n"
+        "print('canary-ok')",
+    ]
+    n_probe = 0
+    t0 = time.time()
+    while time.time() - _STATE["stage_t0"] < WARMUP_CAP - 120:
+        n_probe += 1
+        try:
+            r = subprocess.run(
+                canary_cmd, capture_output=True, timeout=90, text=True
+            )
+            if "canary-ok" in r.stdout:
+                break
+        except subprocess.TimeoutExpired:
+            pass
+        log(f"canary probe {n_probe}: tunnel not answering, retrying")
+    RESULT["sub"]["warmup_canary_probes"] = n_probe
+    t_canary = time.time() - t0
     t0 = time.time()
     log("devices:", jax.devices())
     t_dev = time.time() - t0
@@ -234,13 +288,14 @@ def main():
     jax.block_until_ready(jax.jit(lambda v: Kr._mul_impl(v, v))(x))
     t_jit = time.time() - t0
     RESULT["sub"]["warmup_s"] = {
+        "canary": round(t_canary, 1),
         "device_init": round(t_dev, 1),
         "first_roundtrip": round(t_first, 1),
         "first_jit": round(t_jit, 1),
     }
     log(
-        f"warmup: device_init {t_dev:.1f}s, first round-trip {t_first:.1f}s, "
-        f"first jit {t_jit:.1f}s"
+        f"warmup: canary {t_canary:.1f}s ({n_probe} probes), device_init "
+        f"{t_dev:.1f}s, first round-trip {t_first:.1f}s, first jit {t_jit:.1f}s"
     )
     # the stage budget starts now — warmup (tunnel-dependent) is excluded
     _STATE["budget_t0"] = time.time()
