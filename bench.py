@@ -42,7 +42,8 @@ so a warm repo compiles nothing.
 
 Env overrides: GOSNARK_BENCH_MSM (default 2^20 points), GOSNARK_BENCH_NTT
 (default 2^20), GOSNARK_BENCH_PROVE (comma list of log2 constraint tiers,
-default "14,16,18"), GOSNARK_BENCH_BUDGET (stage seconds, default 600),
+default "16,18,14" — the 2^16 headline tier first; MSM
+programs are size-canonical so later tiers only pay their H-pipeline compile), GOSNARK_BENCH_BUDGET (stage seconds, default 600),
 GOSNARK_BENCH_WARMUP_CAP (default 900).
 """
 
@@ -56,8 +57,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 T0 = time.time()
-BUDGET = float(os.environ.get("GOSNARK_BENCH_BUDGET", 600))
-WARMUP_CAP = float(os.environ.get("GOSNARK_BENCH_WARMUP_CAP", 900))
+# defaults sized so a COLD process (no cross-process compile reuse on the
+# axon backend) can land the headline MSM + NTT + the 2^16 prove tier and
+# still finish under the driver's observed external allowance (>= ~1700 s);
+# a stalled warmup forfeits depth, never the headline (MSM runs first)
+BUDGET = float(os.environ.get("GOSNARK_BENCH_BUDGET", 1500))
+WARMUP_CAP = float(os.environ.get("GOSNARK_BENCH_WARMUP_CAP", 600))
 
 RESULT = {"sub": {}}
 _PRINTED = False
@@ -398,7 +403,7 @@ def main():
     # ---------------- Groth16 tier ladder ----------------
     tiers = [
         int(t)
-        for t in os.environ.get("GOSNARK_BENCH_PROVE", "14,16,18").split(",")
+        for t in os.environ.get("GOSNARK_BENCH_PROVE", "16,18,14").split(",")
         if t.strip()
     ]
     from go_snark_study_tpu.models import groth16 as g16m
@@ -424,6 +429,19 @@ def main():
             t_setup = time.time() - t0
             log(f"groth16-fast 2^{clog} setup: {t_setup:.1f}s (device-resident)")
             RESULT["sub"][f"groth16_setup_2^{clog}_s"] = round(t_setup, 1)
+            pk_bytes = sum(
+                leaf.size * leaf.dtype.itemsize
+                for leaf in jax.tree.leaves(
+                    (
+                        fsetup.pk._device.at,
+                        fsetup.pk._device.b1,
+                        fsetup.pk._device.b2,
+                        fsetup.pk._device.cdelta,
+                        fsetup.pk._device.ptau,
+                    )
+                )
+            )
+            RESULT["sub"][f"pk_hbm_2^{clog}_mb"] = round(pk_bytes / 1e6, 1)
             t0 = time.time()
             fproof = fast.prove(r1cs, fsetup.pk, rng=random.Random(2))
             t_prove_cold = time.time() - t0
@@ -454,18 +472,21 @@ def main():
             np.random.RandomState(0).randint(0, 256, (32, n), dtype=np.int32)
         )
 
-        def chain8(x):
+        def chain8(x, y):
+            # y passed as an ARGUMENT: closing over it bakes the 128 MB
+            # buffer into the HLO as a literal (the 160-318 MB cache
+            # entries of rounds 2-3 were exactly this)
             for _ in range(8):
-                x = Kr._mul_impl(x, a)
+                x = Kr._mul_impl(x, y)
             return x
 
         f = jax.jit(chain8)
-        r = f(a)
+        r = f(a, a)
         jax.block_until_ready(r)
         t0 = time.time()
         reps = 4
         for _ in range(reps):
-            r = f(r)
+            r = f(r, a)
         jax.block_until_ready(r)
         per_s = 8 * reps * n / (time.time() - t0)
         mfu = per_s * mm_cost["int32_ops"] / chip.int32_tops

@@ -444,17 +444,37 @@ class FastGroth16:
         c_m = self.msm_g1.window_bits_for(dpk.m_pad)
         c_p = self.msm_g1.window_bits_for(dpk.mp_pad)
         c_h = self.msm_g1.window_bits_for(dpk.n_pad)
-        # five MSMs + the H pipeline, all device-resident: at/b1 share one
+        # Five MSMs + the H pipeline, all device-resident: at/b1 share one
         # compiled group program (same shapes, same engine), the H digits
-        # feed the ptau MSM without leaving the device
-        s_at = self.msm_g1.window_sums_eager(dpk.at, w_limbs, c_m)
-        s_b1 = self.msm_g1.window_sums_eager(dpk.b1, w_limbs, c_m)
-        s_b2 = self.msm_g2.window_sums_eager(dpk.b2, w_limbs, c_m)
-        s_cd = self.msm_g1.window_sums_eager(dpk.cdelta, wp_limbs, c_p)
-        h_digits = self._get_h_jit(n, dpk.n_pad)(
-            dev(a_e), dev(b_e), dev(c_e), *self._ntt_args(n)
-        )
-        s_h = self.msm_g1.window_sums_eager(dpk.ptau, h_digits, c_h)
+        # feed the ptau MSM without leaving the device.  The G1 side, the
+        # G2 side, and the H pipeline are DISJOINT compile families, so the
+        # first (cold) proof launches them from three threads: XLA compiles
+        # release the GIL, and the remote TPU backend compiles them
+        # concurrently — on a warm process the threads just dispatch.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def g1_side():
+            s_at = self.msm_g1.window_sums_eager(dpk.at, w_limbs, c_m)
+            s_b1 = self.msm_g1.window_sums_eager(dpk.b1, w_limbs, c_m)
+            s_cd = self.msm_g1.window_sums_eager(dpk.cdelta, wp_limbs, c_p)
+            return s_at, s_b1, s_cd
+
+        def g2_side():
+            return self.msm_g2.window_sums_eager(dpk.b2, w_limbs, c_m)
+
+        def h_side():
+            h_digits = self._get_h_jit(n, dpk.n_pad)(
+                dev(a_e), dev(b_e), dev(c_e), *self._ntt_args(n)
+            )
+            return self.msm_g1.window_sums_eager(dpk.ptau, h_digits, c_h)
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_g1 = pool.submit(g1_side)
+            f_g2 = pool.submit(g2_side)
+            f_h = pool.submit(h_side)
+            s_at, s_b1, s_cd = f_g1.result()
+            s_b2 = f_g2.result()
+            s_h = f_h.result()
 
         comb1 = lambda sums, c: combine_window_sums(
             g1, self.g1b.unpack(sums), c

@@ -337,6 +337,12 @@ class _BatchGroup:
             tile = default_tile()
         leaves = jax.tree.leaves(p)
         n = leaves[0].shape[-1]
+        if n < tile <= 1024:
+            # CPU-sized tiles: small inputs quantize to the next power of two
+            # (bounded shape set, compiles are cheap there) instead of paying
+            # tile-width execution.  TPU-sized tiles (8192) are NOT quantized:
+            # reusing the one hot compiled tile beats a fresh remote compile.
+            tile = max(128, 1 << (n - 1).bit_length())
         if n == tile:
             return self._affine_tile_jit(p)
         pad = (-n) % tile

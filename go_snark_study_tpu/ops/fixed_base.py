@@ -106,6 +106,11 @@ class FixedBaseEngine:
         every N)."""
         n = windows.shape[1]
         t = self.tile
+        if n < t <= 1024:
+            # CPU-sized tiles only (see curve_ops.to_affine_tiled): quantize
+            # small batches to the next power of two; on TPU the one hot
+            # 8192-lane compile is always reused instead
+            t = max(128, 1 << (n - 1).bit_length())
         pad = (-n) % t
         if pad:
             windows = jnp.pad(windows, ((0, 0), (0, pad)))

@@ -34,6 +34,7 @@ def accel():
     disable_tpu_setup()
 
 
+@pytest.mark.slow
 def test_accelerated_pinocchio_flow(accel):
     bundle = compile_circuit(source=CUBIC, private_inputs=[3], public_inputs=[35])
     setup, proof, ok = pinocchio_flow(bundle, rng=random.Random(8))

@@ -117,6 +117,7 @@ def test_msm_g1_repeated_points_same_bucket(bn, g1b):
     assert bn.g1.equal(got, bn.g1.mul_scalar(bn.g1.g, 7 * 16))
 
 
+@pytest.mark.slow
 def test_msm_g2_matches_serial(bn, g2b):
     rng = random.Random(23)
     n = 20

@@ -35,6 +35,7 @@ def test_fast_groth16_end_to_end(fast):
     assert not groth16.verify_proof(setup.vk, proof, [publics[0] + 1])
 
 
+@pytest.mark.slow
 def test_fast_groth16_larger_domain(fast):
     sys_ = mul_chain_r1cs(256, seed=2)
     rng = random.Random(7)

@@ -69,6 +69,7 @@ def test_sharded_msm_matches_serial(mesh):
     assert bn.g1.equal(got, want)
 
 
+@pytest.mark.slow
 def test_sharded_msm_larger(mesh):
     """Beyond toy sizes: 2048 points through the tiled group pipeline on the
     8-device mesh (each shard runs the full bucket pipeline on 256 lanes)."""
@@ -91,6 +92,7 @@ def test_sharded_msm_larger(mesh):
     assert bn.g1.equal(got, want)
 
 
+@pytest.mark.slow
 def test_sharded_prove_verify_end_to_end(mesh):
     """Full multi-chip prove -> verify: witness + H MSMs data-parallel over
     the 8-device mesh, proof verifies under the unchanged host verifier
@@ -121,6 +123,7 @@ def test_hier_mesh_shape(mesh2d):
     assert mesh2d.devices.shape == (2, 4)
 
 
+@pytest.mark.slow
 def test_sharded_msm_hierarchical_matches_serial(mesh2d):
     """Hierarchical window-sum combine (ICI gather + tree-add within the
     data axis, then one combine per host across the host axis) must equal
