@@ -22,24 +22,32 @@ import sys
 import time
 
 
-def run(per_dev: int = 2048, devices=(1, 2, 4, 8)) -> list:
+def run(per_dev: int = 2048, devices=(1, 2, 4, 8, "2x4")) -> list:
     import jax
 
     from ..bn128 import constants as C, default_bn128
     from ..ops.curve_ops import G1Batch
     from ..ops.fields import fq_kernels
     from ..ops.msm import scalars_to_limbs
-    from . import data_mesh
+    from . import data_mesh, hier_mesh
     from .sharded_msm import ShardedMSMEngine
 
     bn = default_bn128()
     g1b = G1Batch(fq_kernels())
     rng = random.Random(17)
     rows = []
-    for ndev in devices:
-        if ndev > len(jax.devices()):
-            break
-        mesh = data_mesh(ndev)
+    for spec in devices:
+        if isinstance(spec, str):  # "HxD" -> 2-D (host, data) hierarchy
+            h, d = (int(x) for x in spec.split("x"))
+            ndev = h * d
+            if ndev > len(jax.devices()):
+                break
+            mesh = hier_mesh(h, d)
+        else:
+            ndev = spec
+            if ndev > len(jax.devices()):
+                break
+            mesh = data_mesh(ndev)
         eng = ShardedMSMEngine(g1b, bn.g1, C.R, mesh)
         n = per_dev * ndev
         scalars = [rng.randrange(C.R) for _ in range(n)]
@@ -58,7 +66,13 @@ def run(per_dev: int = 2048, devices=(1, 2, 4, 8)) -> list:
         total = combine_window_sums(bn.g1, g1b.unpack(sums), c)
         ok = bn.g1.equal(total, bn.g1.mul_scalar(bn.g1.g, sum(scalars) % C.R))
         rows.append(
-            {"devices": ndev, "points": n, "seconds": dt, "correct": bool(ok)}
+            {
+                "devices": ndev,
+                "layout": spec if isinstance(spec, str) else "1d",
+                "points": n,
+                "seconds": dt,
+                "correct": bool(ok),
+            }
         )
     return rows
 
@@ -88,12 +102,15 @@ def main(argv=None) -> int:
     rows = run(per_dev)
     t1 = rows[0]["seconds"]
     print(f"weak scaling, {per_dev} points/device (virtual-device caveat in module docstring)")
-    print(f"{'devices':>8}{'points':>10}{'wall s':>10}{'efficiency':>12}{'correct':>9}")
+    print(
+        f"{'devices':>8}{'layout':>8}{'points':>10}{'wall s':>10}"
+        f"{'efficiency':>12}{'correct':>9}"
+    )
     for r in rows:
         eff = t1 / r["seconds"]
         print(
-            f"{r['devices']:>8}{r['points']:>10}{r['seconds']:>10.3f}"
-            f"{eff:>12.2f}{str(r['correct']):>9}"
+            f"{r['devices']:>8}{r['layout']:>8}{r['points']:>10}"
+            f"{r['seconds']:>10.3f}{eff:>12.2f}{str(r['correct']):>9}"
         )
     return 0 if all(r["correct"] for r in rows) else 1
 
