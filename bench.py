@@ -462,7 +462,10 @@ def main():
             )
 
     for clog in tiers:
-        _tier(clog, est=60 + 2 ** max(0, clog - 14) * 30)
+        # est reflects the COLD cost (setup commits + the tier's H-pipeline
+        # and G2-family compiles; no cross-process compile reuse on this
+        # backend): ~300 s at 2^14, +150 s per doubling above it
+        _tier(clog, est=300 + 150 * max(0, clog - 14))
 
     # ---------------- modmul throughput + MFU ----------------
     @stage("modmul", est=45)
