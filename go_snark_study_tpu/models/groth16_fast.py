@@ -111,6 +111,91 @@ class FastGroth16:
         return self._msm_g2
 
     # ------------------------------------------------------------------
+    def warmup(
+        self,
+        families=("big",),
+        domains=(),
+        g2: bool = True,
+        fixed_base: bool = False,
+    ):
+        """Precompile the canonical program families so later setup/prove
+        calls only dispatch (the remote TPU backend charges 30-300 s per
+        program shape; a cold process otherwise pays that inside its first
+        proof).  ``families``: "big" (2^17-lane chunks, c=13 — all MSMs at
+        2^16+ tiers) and/or "small" (2^14-lane chunks, c=11).  ``domains``:
+        iterable of evaluation-domain sizes whose per-domain H-pipeline
+        programs should also compile.  Compiles are launched from threads —
+        XLA releases the GIL and the backend compiles families
+        concurrently.  Idempotent and cheap when everything is cached."""
+        import numpy as np
+        from concurrent.futures import ThreadPoolExecutor
+
+        eng = self.msm_g1
+        jobs = []
+
+        def msm_family(msm, bgroup, lanes, c):
+            def run():
+                # two chunks so the cross-chunk bucket add compiles too;
+                # identity points + zero scalars keep execution trivial
+                aff = bgroup.zeros(2 * lanes)
+                limbs = jnp.zeros((32, 2 * lanes), jnp.int32)
+                plans = eng.make_plans(limbs, c, 2 * lanes)
+                sums, bad = msm.window_sums_eager(aff, limbs, c, plans)
+                np.asarray(jax.tree.leaves(sums)[0][:1, :1])
+
+            return run
+
+        fams = []
+        if "big" in families and eng.chunk_lanes:
+            fams.append((eng.chunk_lanes, eng.window_bits_for(eng.chunk_lanes)))
+        if "small" in families and eng.small_chunk_lanes:
+            fams.append(
+                (
+                    eng.small_chunk_lanes,
+                    eng.window_bits_for(eng.small_chunk_lanes),
+                )
+            )
+        if not fams and eng._chunk_for(1 << 16) is None:
+            # CPU/test backend: nothing canonical to precompile
+            fams = []
+        for lanes, c in fams:
+            # plan/digit pieces compile on the main thread first (shared by
+            # both groups); then G1 and G2 applies go wide
+            dummy = jnp.zeros((32, lanes), jnp.int32)
+            eng._piece_jit("plan", c)(eng._piece_jit("digits", c)(dummy))
+            jobs.append(msm_family(self.msm_g1, self.g1b, lanes, c))
+            if g2:
+                jobs.append(msm_family(self.msm_g2, self.g2b, lanes, c))
+
+        def h_family(nd):
+            def run():
+                n_pad = self._pad_for(nd)
+                coeff = jnp.zeros((32, nd), jnp.int32)
+                out = self._get_h_jit(nd, n_pad)(
+                    coeff, coeff, coeff, *self._ntt_args(nd)
+                )
+                np.asarray(out[:1, :1])
+
+            return run
+
+        for nd in domains:
+            jobs.append(h_family(int(nd)))
+
+        if fixed_base:
+            jobs.append(lambda: self.fb_g1.batch_mul([1]))
+            if g2:
+                jobs.append(lambda: self.fb_g2.batch_mul([1]))
+
+        if not jobs:
+            return
+        # modest concurrency: the remote compile service overlaps a few
+        # requests well, but a dozen at once risks wedging the tunnel
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futs = [pool.submit(j) for j in jobs]
+            for f in futs:
+                f.result()
+
+    # ------------------------------------------------------------------
     def _lagrange_at_tau(self, n: int, tau: int):
         """L_j(tau) = w^j (tau^n - 1) / (n (tau - w^j)) for j = 0..n-1,
         via one batched inversion (Montgomery's trick)."""
@@ -360,62 +445,22 @@ class FastGroth16:
 
     # ------------------------------------------------------------------
     def prove_sharded(self, r1cs: SparseR1CS, pk: Pk, mesh, rng=None) -> Proof:
-        """Multi-chip prove: the witness/H MSMs run data-parallel over the
-        mesh (points sharded, window sums combined with all_gather + tree
-        adds — :mod:`..parallel.sharded_msm`); H(x) comes from the same NTT
-        coset pipeline.  Proof assembly is identical to :meth:`prove` and
-        verifies under the unchanged verifier.  Requires a host-materialised
-        Pk (the sharded engines pack per call)."""
-        from ..parallel.sharded_msm import ShardedMSMEngine
-
-        ctx = self.ctx
-        r = C.R
-        g1, g2 = ctx.bn.g1, ctx.bn.g2
-        w = [x % r for x in r1cs.witness]
-        n = _next_pow2(r1cs.n_constraints)
-        lo = r1cs.n_public + 1
+        """Multi-chip prove via the production sharded prover
+        (:mod:`..parallel.sharded_prover`): the proving key is sharded
+        ONCE onto the mesh (device-resident, cached on the Pk), the five
+        MSMs run data-parallel through chunk-canonical shard_map pieces
+        with the witness sort plan shared across the three same-scalar
+        MSMs, and per-shard window sums (~10 KB each) combine
+        hierarchically on the host.  Proof assembly is identical to
+        :meth:`prove` and verifies under the unchanged verifier."""
+        from ..parallel.sharded_prover import ShardedFastProver
 
         key = ("sharded", id(mesh))
-        if not hasattr(self, "_sharded_engines"):
-            self._sharded_engines = {}
-        if key not in self._sharded_engines:
-            self._sharded_engines[key] = (
-                ShardedMSMEngine(self.g1b, g1, C.R, mesh),
-                ShardedMSMEngine(self.g2b, g2, C.R, mesh),
-            )
-        msm1, msm2 = self._sharded_engines[key]
-
-        r_rand = ctx.rand_fr(rng)
-        s_rand = ctx.rand_fr(rng)
-
-        pi_a = msm1.msm(pk.g1.at, w)
-        pi_b_g1 = msm1.msm(pk.g1.bacgamma, w)
-        pi_b = msm2.msm(pk.g2.bacgamma, w)
-        pi_c = msm1.msm(pk.bacdelta[lo:], w[lo:])
-
-        # H(x) on device (single-program NTT pipeline), digits -> sharded MSM
-        a_e, b_e, c_e = r1cs.row_evals()
-        pad = n - len(a_e)
-        dev = lambda v: self.Kr.pack(list(v) + [0] * pad)
-        h_pipe = jax.jit(self._h_pipeline(n))
-        hx = self.Kr.unpack(
-            h_pipe(dev(a_e), dev(b_e), dev(c_e), *self._ntt_args(n))
-        )
-        pi_h = msm1.msm(pk.powers_tau_delta[: len(hx)], hx)
-
-        pi_a = g1.add(pi_a, pk.g1.alpha)
-        pi_a = g1.add(pi_a, g1.mul_scalar(pk.g1.delta, r_rand))
-        pi_b_g1 = g1.add(pi_b_g1, pk.g1.beta)
-        pi_b = g2.add(pi_b, pk.g2.beta)
-        pi_b_g1 = g1.add(pi_b_g1, g1.mul_scalar(pk.g1.delta, s_rand))
-        pi_b = g2.add(pi_b, g2.mul_scalar(pk.g2.delta, s_rand))
-
-        pi_c = g1.add(pi_c, pi_h)
-        pi_c = g1.add(pi_c, g1.mul_scalar(pi_a, s_rand))
-        pi_c = g1.add(pi_c, g1.mul_scalar(pi_b_g1, r_rand))
-        neg_rs = (-(r_rand * s_rand)) % r
-        pi_c = g1.add(pi_c, g1.mul_scalar(pk.g1.delta, neg_rs))
-        return Proof(pi_a=pi_a, pi_b=pi_b, pi_c=pi_c)
+        if not hasattr(self, "_sharded_provers"):
+            self._sharded_provers = {}
+        if key not in self._sharded_provers:
+            self._sharded_provers[key] = ShardedFastProver(self, mesh)
+        return self._sharded_provers[key].prove(r1cs, pk, rng=rng)
 
     # ------------------------------------------------------------------
     def prove(self, r1cs: SparseR1CS, pk: Pk, rng=None) -> Proof:
@@ -444,8 +489,13 @@ class FastGroth16:
         c_m = self.msm_g1.window_bits_for(dpk.m_pad)
         c_p = self.msm_g1.window_bits_for(dpk.mp_pad)
         c_h = self.msm_g1.window_bits_for(dpk.n_pad)
+        # ONE sort/compaction plan for the witness scalars, shared by the
+        # three same-scalar MSMs (at, b1 in G1 AND b2 in G2 — plans carry no
+        # group data), built on the main thread so its jits exist before the
+        # workers race (MSMEngine._piece_jit is also lock-guarded).
+        plans_w = self.msm_g1.make_plans(w_limbs, c_m)
         # Five MSMs + the H pipeline, all device-resident: at/b1 share one
-        # compiled group program (same shapes, same engine), the H digits
+        # compiled apply program (same shapes, same engine), the H digits
         # feed the ptau MSM without leaving the device.  The G1 side, the
         # G2 side, and the H pipeline are DISJOINT compile families, so the
         # first (cold) proof launches them from three threads: XLA compiles
@@ -454,19 +504,22 @@ class FastGroth16:
         from concurrent.futures import ThreadPoolExecutor
 
         def g1_side():
-            s_at = self.msm_g1.window_sums_eager(dpk.at, w_limbs, c_m)
-            s_b1 = self.msm_g1.window_sums_eager(dpk.b1, w_limbs, c_m)
+            s_at = self.msm_g1.window_sums_eager(dpk.at, w_limbs, c_m, plans_w)
+            s_b1 = self.msm_g1.window_sums_eager(dpk.b1, w_limbs, c_m, plans_w)
             s_cd = self.msm_g1.window_sums_eager(dpk.cdelta, wp_limbs, c_p)
             return s_at, s_b1, s_cd
 
         def g2_side():
-            return self.msm_g2.window_sums_eager(dpk.b2, w_limbs, c_m)
+            return self.msm_g2.window_sums_eager(dpk.b2, w_limbs, c_m, plans_w)
 
         def h_side():
             h_digits = self._get_h_jit(n, dpk.n_pad)(
                 dev(a_e), dev(b_e), dev(c_e), *self._ntt_args(n)
             )
-            return self.msm_g1.window_sums_eager(dpk.ptau, h_digits, c_h)
+            return (
+                self.msm_g1.window_sums_eager(dpk.ptau, h_digits, c_h),
+                h_digits,
+            )
 
         with ThreadPoolExecutor(max_workers=3) as pool:
             f_g1 = pool.submit(g1_side)
@@ -474,14 +527,37 @@ class FastGroth16:
             f_h = pool.submit(h_side)
             s_at, s_b1, s_cd = f_g1.result()
             s_b2 = f_g2.result()
-            s_h = f_h.result()
+            s_h, h_digits = f_h.result()
+
+        # degeneracy-flag check: incomplete-formula MSMs re-run through the
+        # complete-engine twin if their flag fired (cryptographically never
+        # for honest keys; exact always — see ops.msm module docstring)
+        import numpy as _np
+
+        def chk1(sf, pts, limbs, c, plans=None):
+            sums, bad = sf
+            if bool(_np.asarray(bad)):
+                sums, _ = self.msm_g1.fallback_engine().window_sums_eager(
+                    pts, limbs, c, plans
+                )
+            return sums
+
+        s_at = chk1(s_at, dpk.at, w_limbs, c_m, plans_w)
+        s_b1 = chk1(s_b1, dpk.b1, w_limbs, c_m, plans_w)
+        s_cd = chk1(s_cd, dpk.cdelta, wp_limbs, c_p)
+        s_h = chk1(s_h, dpk.ptau, h_digits, c_h)
+        sums_b2, bad_b2 = s_b2
+        if bool(_np.asarray(bad_b2)):
+            sums_b2, _ = self.msm_g2.fallback_engine().window_sums_eager(
+                dpk.b2, w_limbs, c_m, plans_w
+            )
 
         comb1 = lambda sums, c: combine_window_sums(
             g1, self.g1b.unpack(sums), c
         )
         pi_a = comb1(s_at, c_m)
         pi_b_g1 = comb1(s_b1, c_m)
-        pi_b = combine_window_sums(g2, self.g2b.unpack(s_b2), c_m)
+        pi_b = combine_window_sums(g2, self.g2b.unpack(sums_b2), c_m)
         pi_c = comb1(s_cd, c_p)
         pi_h = comb1(s_h, c_h)
 

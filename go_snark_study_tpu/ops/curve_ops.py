@@ -30,6 +30,8 @@ __all__ = [
     "BatchFq2",
     "jacobian_add",
     "jacobian_add_mixed",
+    "jacobian_add_incomplete",
+    "jacobian_add_mixed_incomplete",
     "jacobian_double",
     "G1Batch",
     "G2Batch",
@@ -70,6 +72,9 @@ class BatchFq:
 
     def zeros_like(self, a):
         return jnp.zeros_like(a)
+
+    def neg(self, a):
+        return self.K._neg_impl(a)
 
     def inverse(self, a):
         """Batched tree inversion (zero -> zero)."""
@@ -124,6 +129,9 @@ class BatchFq2:
 
     def zeros_like(self, a):
         return (jnp.zeros_like(a[0]), jnp.zeros_like(a[1]))
+
+    def neg(self, a):
+        return (self.K._neg_impl(a[0]), self.K._neg_impl(a[1]))
 
     def inverse(self, a):
         """(a0 + a1 u)^-1 = (a0 - a1 u) / (a0^2 + a1^2) for beta = -1
@@ -241,6 +249,77 @@ def jacobian_add_mixed(F, p1, p2):
     return out
 
 
+def jacobian_add_incomplete(F, p1, p2):
+    """add-2007-bl WITHOUT the doubling branch: 11M+5S instead of the
+    complete form's ~24 muls (add + shadow double).  Returns
+    ``(point, bad)`` where ``bad`` marks lanes that hit the degenerate
+    case h == 0 with both operands live (equal or inverse points) — there
+    the emitted point is the identity, which is WRONG, so callers must OR
+    the (suitably masked) flags and re-run through the complete formulas
+    when any fires.  For MSM bucket accumulation over honest inputs the
+    degenerate case has cryptographically negligible probability; the flag
+    plus fallback makes the pipeline exactly correct anyway (adversarial
+    or duplicate-point inputs included).  Identity operands are still
+    handled branchlessly (selects, no extra muls)."""
+    x1, y1, z1 = p1
+    x2, y2, z2 = p2
+    p1_zero = F.is_zero(z1)
+    p2_zero = F.is_zero(z2)
+
+    z1z1 = F.square(z1)
+    z2z2 = F.square(z2)
+    u1 = F.mul(x1, z2z2)
+    u2 = F.mul(x2, z1z1)
+    s1 = F.mul(y1, F.mul(z2, z2z2))
+    s2 = F.mul(y2, F.mul(z1, z1z1))
+    h = F.sub(u2, u1)
+    r_ = F.double(F.sub(s2, s1))
+    h_zero = F.is_zero(h)
+
+    i = F.square(F.double(h))
+    j = F.mul(h, i)
+    v = F.mul(u1, i)
+    x3 = F.sub(F.sub(F.square(r_), j), F.double(v))
+    y3 = F.sub(F.mul(r_, F.sub(v, x3)), F.double(F.mul(s1, j)))
+    z3 = F.mul(F.sub(F.sub(F.square(F.add(z1, z2)), z1z1), z2z2), h)
+
+    sel = lambda m, a, b: tuple(F.select(m, ca, cb) for ca, cb in zip(a, b))
+    out = sel(p2_zero, p1, (x3, y3, z3))
+    out = sel(p1_zero, p2, out)
+    live = jnp.logical_not(jnp.logical_or(p1_zero, p2_zero))
+    return out, jnp.logical_and(h_zero, live)
+
+
+def jacobian_add_mixed_incomplete(F, p1, p2):
+    """madd-2007-bl without the doubling branch: 7M+4S (vs ~19 muls
+    complete).  Same flag contract as :func:`jacobian_add_incomplete`."""
+    x1, y1, z1 = p1
+    x2, y2, z2 = p2
+    p1_zero = F.is_zero(z1)
+    p2_zero = F.is_zero(z2)
+
+    z1z1 = F.square(z1)
+    u2 = F.mul(x2, z1z1)
+    s2 = F.mul(y2, F.mul(z1, z1z1))
+    h = F.sub(u2, x1)
+    r_ = F.double(F.sub(s2, y1))
+    h_zero = F.is_zero(h)
+
+    hh = F.square(h)
+    i = F.double(F.double(hh))
+    j = F.mul(h, i)
+    v = F.mul(x1, i)
+    x3 = F.sub(F.sub(F.square(r_), j), F.double(v))
+    y3 = F.sub(F.mul(r_, F.sub(v, x3)), F.double(F.mul(y1, j)))
+    z3 = F.sub(F.sub(F.square(F.add(z1, h)), z1z1), hh)
+
+    sel = lambda m, a, b: tuple(F.select(m, ca, cb) for ca, cb in zip(a, b))
+    out = sel(p2_zero, p1, (x3, y3, z3))
+    out = sel(p1_zero, p2, out)
+    live = jnp.logical_not(jnp.logical_or(p1_zero, p2_zero))
+    return out, jnp.logical_and(h_zero, live)
+
+
 class _BatchGroup:
     def __init__(self, F, K: FieldKernels, coord_arity: int):
         self.F = F
@@ -264,6 +343,18 @@ class _BatchGroup:
                 )
                 self._fused["jadd"] = make_pallas_point_op(
                     self.K.p, jacobian_add, arity=self._arity
+                )
+                self._fused["madd_f"] = make_pallas_point_op(
+                    self.K.p,
+                    jacobian_add_mixed_incomplete,
+                    arity=self._arity,
+                    flagged=True,
+                )
+                self._fused["jadd_f"] = make_pallas_point_op(
+                    self.K.p,
+                    jacobian_add_incomplete,
+                    arity=self._arity,
+                    flagged=True,
                 )
         return self._fused
 
@@ -300,6 +391,56 @@ class _BatchGroup:
     def jadd(self, p1, p2):
         """Full Jacobian add — fused on TPU."""
         return self._dispatch("jadd", jacobian_add, p1, p2)
+
+    def _dispatch_flagged(self, kind: str, formula, p1, p2):
+        """Like :meth:`_dispatch` but for incomplete formulas returning
+        ``(point, bad_mask)``; the fused kernel emits the mask as an extra
+        int32 plane.  Zero pad lanes are identities -> never flagged."""
+        fused = self._fused_ops().get(kind)
+        leaves = jax.tree.leaves(p1)
+        shape = leaves[0].shape
+        lanes = 1
+        for d in shape[1:]:
+            lanes *= d
+        if fused is None or lanes < 256:
+            return formula(self.F, p1, p2)
+        pad = (-lanes) % 1024
+
+        def prep(c):
+            c = c.reshape(c.shape[0], lanes)
+            if pad:
+                c = jnp.pad(c, ((0, 0), (0, pad)))
+            return c
+
+        out, bad = fused(
+            tuple(prep(c) for c in jax.tree.leaves(p1)),
+            tuple(prep(c) for c in jax.tree.leaves(p2)),
+        )
+        pt = jax.tree.unflatten(
+            jax.tree.structure(p1),
+            [c[:, :lanes].reshape(shape) for c in out],
+        )
+        return pt, bad[:lanes].reshape(shape[1:]) != 0
+
+    def madd_flagged(self, p1, p2):
+        """Incomplete mixed add: ``(p1 + p2, degenerate_mask)``."""
+        return self._dispatch_flagged(
+            "madd_f", jacobian_add_mixed_incomplete, p1, p2
+        )
+
+    def jadd_flagged(self, p1, p2):
+        """Incomplete full Jacobian add: ``(p1 + p2, degenerate_mask)``."""
+        return self._dispatch_flagged(
+            "jadd_f", jacobian_add_incomplete, p1, p2
+        )
+
+    def neg_y_where(self, p, mask):
+        """Conditionally negate points laneswise: where ``mask`` is true the
+        point's y coordinate is replaced by -y (identity lanes stay identity
+        since -0 = 0).  Used by the signed-digit MSM to fold the digit sign
+        into the accumulated point."""
+        x, y, z = p
+        return (x, self.F.select(mask, self.F.neg(y), y), z)
 
     def is_zero(self, p):
         return self.F.is_zero(p[2])

@@ -159,9 +159,10 @@ class _RowField2:
         return (self.b.zeros_like(a[0]), self.b.zeros_like(a[1]))
 
 
-def _point_kernel(*refs, formula, p_rows, n0: int, arity: int):
+def _point_kernel(*refs, formula, p_rows, n0: int, arity: int, flagged: bool):
     """refs = 3*arity input coord refs for p1, 3*arity for p2, 3*arity
-    outputs; each (LIMBS, S, 128)."""
+    outputs (+ one (S, 128) int32 flag output when ``flagged``); coord refs
+    are (LIMBS, S, 128)."""
     base = _RowField(p_rows, n0)
     F = base if arity == 1 else _RowField2(base)
     nin = 3 * arity
@@ -173,6 +174,8 @@ def _point_kernel(*refs, formula, p_rows, n0: int, arity: int):
         p1 = tuple(val(refs[k]) for k in range(nin))
         p2 = tuple(val(refs[nin + k]) for k in range(nin))
         out = formula(F, p1, p2)
+        if flagged:
+            out, bad = out
         flat_out = out
     else:
         group = lambda off: tuple(
@@ -180,16 +183,33 @@ def _point_kernel(*refs, formula, p_rows, n0: int, arity: int):
         )
         p1, p2 = group(0), group(nin)
         out = formula(F, p1, p2)
+        if flagged:
+            out, bad = out
         flat_out = tuple(comp for coord in out for comp in coord)
     for k in range(nin):
         refs[2 * nin + k][:] = jnp.stack(flat_out[k])
+    if flagged:
+        refs[2 * nin + nin][:] = bad.astype(jnp.int32)
 
 
-def make_pallas_point_op(p: int, formula, arity: int = 1, tile: int = TILE):
+_FORMULA_MULS = {
+    "jacobian_add": 16 + 8,  # complete forms also trace the shadow double
+    "jacobian_add_mixed": 11 + 8,
+    "jacobian_add_incomplete": 16,
+    "jacobian_add_mixed_incomplete": 11,
+}
+
+
+def make_pallas_point_op(
+    p: int, formula, arity: int = 1, tile: int = TILE, flagged: bool = False
+):
     """Build a fused point-op ``f(p1, p2) -> p3`` over coordinate pytrees
     with leaves (32, N), N a multiple of ``tile``.  ``formula`` is one of the
     curve_ops group-law functions taking (F, p1, p2); ``arity`` is the field
-    extension degree of the coordinates (1 = G1/Fq, 2 = G2/Fq2)."""
+    extension degree of the coordinates (1 = G1/Fq, 2 = G2/Fq2).  With
+    ``flagged``, the formula returns ``(point, bad_mask)`` (the incomplete
+    variants) and the op returns ``(coords_tuple, bad)`` with bad int32
+    (N,)."""
     assert tile % 128 == 0
     S = tile // 128
     p_limbs = np.frombuffer(int(p).to_bytes(LIMBS, "little"), dtype=np.uint8)
@@ -199,11 +219,11 @@ def make_pallas_point_op(p: int, formula, arity: int = 1, tile: int = TILE):
         p_rows=tuple(int(x) for x in p_limbs),
         n0=int((-pow(p, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)),
         arity=arity,
+        flagged=flagged,
     )
     spec = pl.BlockSpec((LIMBS, S, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
-    n_muls = (16 if formula.__name__ == "jacobian_add" else 14) * (
-        3 if arity == 2 else 1
-    )
+    flag_spec = pl.BlockSpec((S, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    n_muls = _FORMULA_MULS.get(formula.__name__, 24) * (3 if arity == 2 else 1)
     nin = 3 * arity
 
     def op(p1, p2):
@@ -213,18 +233,28 @@ def make_pallas_point_op(p: int, formula, arity: int = 1, tile: int = TILE):
         assert n % tile == 0, f"batch {n} not a multiple of tile {tile}"
         shape3 = (LIMBS, n // 128, 128)
         args = [c.reshape(shape3) for c in (*leaves1, *leaves2)]
+        out_specs = [spec] * nin
+        out_shape = [jax.ShapeDtypeStruct(shape3, jnp.int32)] * nin
+        if flagged:
+            out_specs = out_specs + [flag_spec]
+            out_shape = out_shape + [
+                jax.ShapeDtypeStruct((n // 128, 128), jnp.int32)
+            ]
         outs = pl.pallas_call(
             kernel,
             grid=(n // tile,),
             in_specs=[spec] * (2 * nin),
-            out_specs=[spec] * nin,
-            out_shape=[jax.ShapeDtypeStruct(shape3, jnp.int32)] * nin,
+            out_specs=out_specs,
+            out_shape=out_shape,
             cost_estimate=pl.CostEstimate(
                 flops=4300 * n_muls * n,
                 bytes_accessed=3 * nin * LIMBS * 4 * n,
                 transcendentals=0,
             ),
         )(*args)
-        return tuple(o.reshape(LIMBS, n) for o in outs)
+        coords = tuple(o.reshape(LIMBS, n) for o in outs[:nin])
+        if flagged:
+            return coords, outs[nin].reshape(n)
+        return coords
 
     return op

@@ -55,7 +55,7 @@ def make_sharded_prove_step(mesh: Mesh, n_points: int, n_domain: int):
     L = 32
 
     def step(points, windows, a_c, b_c, c_c):
-        sums = msm_fn(points, windows)
+        sums, _bad = msm_fn(points, windows)
         shape3 = (L, n1, n2)
         ae = ntt_fwd(a_c.reshape(shape3), tw_f)
         be = ntt_fwd(b_c.reshape(shape3), tw_f)

