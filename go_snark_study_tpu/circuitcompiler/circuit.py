@@ -107,10 +107,22 @@ class Circuit:
     r1cs: R1CS = field(default_factory=R1CS)
 
     # ------------------------------------------------------------------
+    def _index_map(self) -> Dict[str, int]:
+        """name -> index cache over ``signals`` (rebuilt when the list has
+        grown — the parser appends, never reorders).  Turns the hot
+        signal lookups from O(n) list scans into O(1), which is what makes
+        2^16+-constraint DSL circuits compile in seconds instead of
+        hours."""
+        m = getattr(self, "_sig_cache", None)
+        if m is None or len(m) != len(self.signals):
+            m = {s: i for i, s in enumerate(self.signals)}
+            self._sig_cache = m
+        return m
+
     def _signal_index(self, name: str) -> int:
         try:
-            return self.signals.index(name)
-        except ValueError:
+            return self._index_map()[name]
+        except KeyError:
             raise CircuitError(f"unknown signal {name!r}")
 
     def _insert_var(self, arr: List[int], v: str, used: Dict[str, bool], sign: int) -> None:
@@ -164,6 +176,63 @@ class Circuit:
             b.append(row_b)
             c.append(row_c)
         self.r1cs = R1CS(a, b, c)
+        return a, b, c
+
+    def generate_r1cs_sparse(self):
+        """Flat code -> sparse R1CS rows ({signal_index: coeff} dicts),
+        bit-equivalent to :meth:`generate_r1cs` but O(nnz) instead of
+        O(n_constraints x n_signals) — the dense form is memory-impossible
+        beyond ~2^14 constraints (a 2^18 circuit would need 2^36 cells).
+        The dense reference semantics (circuit.go:84-148) are mirrored
+        statement for statement, including the ``=``-assignment of the out
+        coefficient after the ``+=`` inserts."""
+        a: List[Dict[int, int]] = []
+        b: List[Dict[int, int]] = []
+        c: List[Dict[int, int]] = []
+        used: Dict[str, bool] = {}
+        idx = self._index_map()
+
+        def ins(row: Dict[int, int], v: str, sign: int) -> None:
+            val = _is_value(v)
+            if val is not None:
+                row[0] = row.get(0, 0) + val  # raw value even for neg —
+                # mirrors the reference's insertVarNeg (circuit.go:70-81)
+                return
+            if not used.get(v):
+                raise CircuitError(f"using variable before it's set: {v!r}")
+            i = idx[v]
+            row[i] = row.get(i, 0) + sign
+
+        for cons in self.constraints:
+            row_a: Dict[int, int] = {}
+            row_b: Dict[int, int] = {}
+            row_c: Dict[int, int] = {}
+            used[cons.out] = True
+            if cons.op == "in":
+                continue
+            elif cons.op == "+":
+                row_c[idx[cons.out]] = 1
+                ins(row_a, cons.v1, +1)
+                ins(row_a, cons.v2, +1)
+                row_b[0] = 1
+            elif cons.op == "-":
+                row_c[idx[cons.out]] = 1
+                ins(row_a, cons.v1, -1)
+                ins(row_a, cons.v2, -1)
+                row_b[0] = 1
+            elif cons.op == "*":
+                row_c[idx[cons.out]] = 1
+                ins(row_a, cons.v1, +1)
+                ins(row_b, cons.v2, +1)
+            elif cons.op == "/":
+                ins(row_c, cons.v1, +1)
+                row_c[idx[cons.out]] = 1
+                ins(row_b, cons.v2, +1)
+            else:
+                continue
+            a.append(row_a)
+            b.append(row_b)
+            c.append(row_c)
         return a, b, c
 
     # ------------------------------------------------------------------

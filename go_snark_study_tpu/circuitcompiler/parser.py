@@ -251,8 +251,12 @@ class Parser:
 
 
 def _add_signal(circuit: Circuit, name: str) -> None:
-    if name not in circuit.signals:
+    # membership via the circuit's O(1) index cache (a `name in list` scan
+    # here made parsing quadratic — fatal at 2^16+ constraints)
+    m = circuit._index_map()
+    if name not in m:
         circuit.signals.append(name)
+        m[name] = len(circuit.signals) - 1
 
 
 def parse_source(text: str, base_dir: Optional[str] = None) -> Circuit:

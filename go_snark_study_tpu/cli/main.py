@@ -57,6 +57,28 @@ def _read_inputs() -> tuple[List[int], List[int]]:
 
 def cmd_compile(args) -> int:
     private, public = _read_inputs()
+    if getattr(args, "fast", False):
+        # sparse large-circuit path: parse -> field-semantics witness (C++
+        # evaluator) -> sparse R1CS satisfiability check.  No dense R1CS, no
+        # O(n^2) QAP, no px.json — the fast protocol stages recompute the
+        # sparse system in O(nnz) (the dense reference pipeline is memory-
+        # impossible beyond ~2^14 constraints).
+        from ..bn128.constants import R as FR_MOD
+        from ..circuitcompiler import parse_file
+        from ..synthetic import SparseR1CS
+
+        circuit = parse_file(args.circuit)
+        w = circuit.calculate_witness(private, public, field_modulus=FR_MOD)
+        sparse = SparseR1CS.from_circuit(circuit, witness=w)
+        if not sparse.check():
+            print("error: witness does not satisfy the constraint system",
+                  file=sys.stderr)
+            return 1
+        print(f"compiled circuit (fast): {len(circuit.signals)} signals, "
+              f"{sparse.n_constraints} constraints, {circuit.n_public} public")
+        _write_json("compiledcircuit.json", raw.circuit_to_dict(circuit))
+        print("wrote compiledcircuit.json (sparse fast path: no px.json)")
+        return 0
     bundle = compile_circuit(
         path=args.circuit, private_inputs=private, public_inputs=public
     )
@@ -118,30 +140,30 @@ def cmd_verify(args) -> int:
 
 def _load_compiled_sparse():
     """Compiled circuit -> SparseR1CS + field witness, the TPU fast path's
-    input (no O(n^2) QAP recomputation)."""
+    input: O(nnz) end to end (sparse row emission, no dense R1CS, no
+    O(n^2) QAP recomputation; C++ witness evaluator at >=256
+    constraints)."""
+    from ..bn128.constants import R as FR_MOD
     from ..synthetic import SparseR1CS
 
     circuit = raw.circuit_from_dict(_read_json("compiledcircuit.json"))
     private, public = _read_inputs()
-    w = circuit.calculate_witness(private, public)
-    circuit.generate_r1cs()
+    w = circuit.calculate_witness(private, public, field_modulus=FR_MOD)
     return circuit, SparseR1CS.from_circuit(circuit, witness=w)
 
 
 def cmd_groth16_trustedsetup(args) -> int:
     if getattr(args, "fast", False):
         from ..models.groth16_fast import FastGroth16
+        from ..utils import keyfile
 
         _, sparse = _load_compiled_sparse()
-        setup = FastGroth16().setup(sparse)
+        setup = FastGroth16().setup(sparse, materialize_host=False)
         stripped = setup.strip_toxic()
-        _write_json("trustedsetup.json", raw.groth_setup_to_dict(stripped))
-        if args.wasm:
-            _write_json(
-                "trustedsetupString.json", base10.groth_setup_to_dict(stripped)
-            )
+        keyfile.save_fast_setup(keyfile.KEYFILE, stripped)
         print("groth16 trusted setup generated (TPU evaluation-form path)")
-        print("wrote trustedsetup.json")
+        print(f"wrote {keyfile.KEYFILE} (binary fast-path key; "
+              "use the non-fast setup for the JSON wire format)")
         return 0
     ctx, circuit, w, alphas, betas, gammas, _, _ = _load_compiled()
     setup = g16.generate_trusted_setup(len(w), circuit, alphas, betas, gammas, ctx=ctx)
@@ -149,9 +171,28 @@ def cmd_groth16_trustedsetup(args) -> int:
     _write_json("trustedsetup.json", raw.groth_setup_to_dict(stripped))
     if args.wasm:
         _write_json("trustedsetupString.json", base10.groth_setup_to_dict(stripped))
+    # a stale binary fast-path key would shadow this fresh JSON setup
+    import os
+
+    from ..utils import keyfile
+
+    if os.path.exists(keyfile.KEYFILE):
+        os.remove(keyfile.KEYFILE)
     print("groth16 trusted setup generated")
     print("wrote trustedsetup.json")
     return 0
+
+
+def _load_groth_setup():
+    """trustedsetup.npz (binary fast-path key, preferred) or
+    trustedsetup.json (reference wire format)."""
+    import os
+
+    from ..utils import keyfile
+
+    if os.path.exists(keyfile.KEYFILE):
+        return keyfile.load_fast_setup(keyfile.KEYFILE)
+    return raw.groth_setup_from_dict(_read_json("trustedsetup.json"))
 
 
 def cmd_groth16_genproofs(args) -> int:
@@ -159,7 +200,7 @@ def cmd_groth16_genproofs(args) -> int:
         from ..models.groth16_fast import FastGroth16
 
         _, sparse = _load_compiled_sparse()
-        setup = raw.groth_setup_from_dict(_read_json("trustedsetup.json"))
+        setup = _load_groth_setup()
         t0 = time.time()
         proof = FastGroth16().prove(sparse, setup.pk)
         print(f"proof generated in {time.time()-t0:.3f}s (TPU fast path)")
@@ -177,7 +218,7 @@ def cmd_groth16_genproofs(args) -> int:
 
 
 def cmd_groth16_verify(args) -> int:
-    setup = raw.groth_setup_from_dict(_read_json("trustedsetup.json"))
+    setup = _load_groth_setup()
     proof = raw.groth_proof_from_dict(_read_json("proofs.json"))
     public = [int(x) for x in _read_json("publicInputs.json")]
     t0 = time.time()
@@ -196,6 +237,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     c = sub.add_parser("compile", aliases=["c"], help="compile a circuit")
     c.add_argument("circuit", help="path to .circuit file")
+    c.add_argument(
+        "--fast",
+        action="store_true",
+        help="sparse large-circuit path: field-mode witness (C++), O(nnz) "
+        "R1CS, no dense QAP artifacts",
+    )
     c.add_argument("wasm", nargs="?", help="also write *String JSON variants")
     c.set_defaults(fn=cmd_compile)
 

@@ -56,19 +56,38 @@ class SparseR1CS:
         flat-code circuits (cli `compile`) run through FastGroth16 instead
         of the O(n^2) monomial parity path (cli/main.go:455-505 analog).
 
+        If the circuit's dense R1CS has been generated it is consumed as
+        before; otherwise rows come straight from
+        ``Circuit.generate_r1cs_sparse`` — O(nnz) end to end, which is what
+        makes 2^16+-constraint DSL circuits feasible (the dense form needs
+        n_constraints x n_signals cells; the reference caps out around 20
+        constraints for other reasons, circuit.go:84-148).
+
         The witness may be the raw-integer reference witness; it is reduced
         mod r here (the fast path is field-semantics end to end)."""
-        rows = lambda dense: [
-            {i: c % r for i, c in enumerate(row) if c % r} for row in dense
-        ]
         w = witness if witness is not None else circuit.witness
+        if circuit.r1cs.A:
+            rows = lambda dense: [
+                {i: c % r for i, c in enumerate(row) if c % r} for row in dense
+            ]
+            A, B, C = (
+                rows(circuit.r1cs.A),
+                rows(circuit.r1cs.B),
+                rows(circuit.r1cs.C),
+            )
+        else:
+            sa, sb, sc = circuit.generate_r1cs_sparse()
+            srows = lambda rs: [
+                {i: c % r for i, c in row.items() if c % r} for row in rs
+            ]
+            A, B, C = srows(sa), srows(sb), srows(sc)
         sys_ = cls(
-            n_constraints=len(circuit.r1cs.A),
+            n_constraints=len(A),
             n_signals=circuit.n_signals,
             n_public=circuit.n_public,
-            A=rows(circuit.r1cs.A),
-            B=rows(circuit.r1cs.B),
-            C=rows(circuit.r1cs.C),
+            A=A,
+            B=B,
+            C=C,
             witness=[x % r for x in w],
         )
         return sys_
