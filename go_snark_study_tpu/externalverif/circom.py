@@ -37,19 +37,21 @@ class CircomVk:
 
 
 def vk_from_circom_dict(d: dict) -> groth16.Vk:
+    # points are on-curve/subgroup-validated at parse (utils/validate.py) —
+    # snarkjs shares the reference's raw-tuple trust model otherwise
     vk = groth16.Vk()
     vk.ic = base10.arr_p3_i(d["IC"])
     vk.g1.alpha = base10.p3_i(d["vk_alfa_1"])
-    vk.g2.beta = base10.p32_i(d["vk_beta_2"])
-    vk.g2.gamma = base10.p32_i(d["vk_gamma_2"])
-    vk.g2.delta = base10.p32_i(d["vk_delta_2"])
+    vk.g2.beta = base10.p32_i(d["vk_beta_2"], subgroup=True)
+    vk.g2.gamma = base10.p32_i(d["vk_gamma_2"], subgroup=True)
+    vk.g2.delta = base10.p32_i(d["vk_delta_2"], subgroup=True)
     return vk
 
 
 def proof_from_circom_dict(d: dict) -> groth16.Proof:
     return groth16.Proof(
         pi_a=base10.p3_i(d["pi_a"]),
-        pi_b=base10.p32_i(d["pi_b"]),
+        pi_b=base10.p32_i(d["pi_b"], subgroup=True),
         pi_c=base10.p3_i(d["pi_c"]),
     )
 

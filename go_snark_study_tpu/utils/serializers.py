@@ -17,6 +17,7 @@ from typing import Any, Dict, List, Sequence
 from ..circuitcompiler import Circuit, Constraint
 from ..circuitcompiler.circuit import R1CS
 from ..models import groth16 as g16, pinocchio as pgh
+from .validate import check_g1, check_g2, check_g2_subgroup
 
 __all__ = ["Codec"]
 
@@ -58,13 +59,16 @@ class Codec:
         return [self.s(p[0]), self.s(p[1]), self.s(p[2])]
 
     def p3_i(self, ss):
-        return (self.i(ss[0]), self.i(ss[1]), self.i(ss[2]))
+        # on-curve validation at the wire boundary (deliberate divergence
+        # from the reference's raw tuples — see utils/validate.py)
+        return check_g1((self.i(ss[0]), self.i(ss[1]), self.i(ss[2])))
 
     def p32(self, p) -> List[List[str]]:  # [3][2] G2 Jacobian point
         return [[self.s(c[0]), self.s(c[1])] for c in p]
 
-    def p32_i(self, ss):
-        return tuple((self.i(c[0]), self.i(c[1])) for c in ss)
+    def p32_i(self, ss, subgroup: bool = False):
+        p = tuple((self.i(c[0]), self.i(c[1])) for c in ss)
+        return check_g2_subgroup(p) if subgroup else check_g2(p)
 
     def arr_p3(self, ps) -> List[List[str]]:
         return [self.p3(p) for p in ps]
@@ -127,14 +131,14 @@ class Codec:
             z=self.arr_i(pk_d["Z"]),
         )
         vk = pgh.Vk(
-            vka=self.p32_i(vk_d["Vka"]),
+            vka=self.p32_i(vk_d["Vka"], subgroup=True),
             vkb=self.p3_i(vk_d["Vkb"]),
-            vkc=self.p32_i(vk_d["Vkc"]),
+            vkc=self.p32_i(vk_d["Vkc"], subgroup=True),
             ic=self.arr_p3_i(vk_d["IC"]),
             g1_kbg=self.p3_i(vk_d["G1Kbg"]),
-            g2_kbg=self.p32_i(vk_d["G2Kbg"]),
-            g2_kg=self.p32_i(vk_d["G2Kg"]),
-            vkz=self.p32_i(vk_d["Vkz"]),
+            g2_kbg=self.p32_i(vk_d["G2Kbg"], subgroup=True),
+            g2_kg=self.p32_i(vk_d["G2Kg"], subgroup=True),
+            vkz=self.p32_i(vk_d["Vkz"], subgroup=True),
         )
         return pgh.Setup(pk=pk, vk=vk)
 
@@ -194,7 +198,7 @@ class Codec:
         return pgh.Proof(
             pi_a=self.p3_i(d["PiA"]),
             pi_ap=self.p3_i(d["PiAp"]),
-            pi_b=self.p32_i(d["PiB"]),
+            pi_b=self.p32_i(d["PiB"], subgroup=True),
             pi_bp=self.p3_i(d["PiBp"]),
             pi_c=self.p3_i(d["PiC"]),
             pi_cp=self.p3_i(d["PiCp"]),
@@ -251,9 +255,9 @@ class Codec:
         vk = g16.Vk()
         vk.ic = self.arr_p3_i(d["IC"])
         vk.g1.alpha = self.p3_i(d["G1"]["Alpha"])
-        vk.g2.beta = self.p32_i(d["G2"]["Beta"])
-        vk.g2.gamma = self.p32_i(d["G2"]["Gamma"])
-        vk.g2.delta = self.p32_i(d["G2"]["Delta"])
+        vk.g2.beta = self.p32_i(d["G2"]["Beta"], subgroup=True)
+        vk.g2.gamma = self.p32_i(d["G2"]["Gamma"], subgroup=True)
+        vk.g2.delta = self.p32_i(d["G2"]["Delta"], subgroup=True)
         return vk
 
     def groth_setup_from_dict(self, d: Dict[str, Any]) -> g16.Setup:
@@ -281,8 +285,11 @@ class Codec:
         return {"PiA": self.p3(p.pi_a), "PiB": self.p32(p.pi_b), "PiC": self.p3(p.pi_c)}
 
     def groth_proof_from_dict(self, d: Dict[str, Any]) -> g16.Proof:
+        # πB gets the full subgroup check: it is the only proof element the
+        # verifier pairs from G2, where on-curve alone does not pin the
+        # r-torsion (cofactor != 1 on the twist)
         return g16.Proof(
             pi_a=self.p3_i(d["PiA"]),
-            pi_b=self.p32_i(d["PiB"]),
+            pi_b=self.p32_i(d["PiB"], subgroup=True),
             pi_c=self.p3_i(d["PiC"]),
         )
