@@ -369,13 +369,12 @@ function randFr() {
   // rejection sampling below R (fixes the reference's biased Fq.Rand,
   // fq.go:121-128)
   const buf = new Uint8Array(32);
-  const rand =
-    typeof crypto !== "undefined" && crypto.getRandomValues
-      ? (b) => crypto.getRandomValues(b)
-      : (b) => {
-          for (let i = 0; i < b.length; i++) b[i] = Math.floor(Math.random() * 256);
-          return b;
-        };
+  // r/s are the zero-knowledge blinding scalars: a non-CSPRNG here can
+  // leak witness information, so a missing crypto API is a hard error
+  // (every supported browser/Node runtime has crypto.getRandomValues).
+  if (typeof crypto === "undefined" || !crypto.getRandomValues)
+    throw new Error("no CSPRNG available (crypto.getRandomValues required)");
+  const rand = (b) => crypto.getRandomValues(b);
   for (;;) {
     rand(buf);
     let x = 0n;
