@@ -11,8 +11,19 @@ package is its TPU-native counterpart, built on ``jax.sharding.Mesh`` +
                    all_gather + tree point-adds
   sharded_ntt.py   four-step NTT: local column transforms, twiddle scaling,
                    all_to_all transpose, local row transforms
+  sharded_prover.py  production multi-chip Groth16 prover: device-resident
+                   sharded proving key, chunk-canonical shard_map pieces,
+                   host hierarchical window-sum combine
 """
 
 from .mesh import data_mesh, hier_mesh
 
-__all__ = ["data_mesh", "hier_mesh"]
+__all__ = ["data_mesh", "hier_mesh", "ShardedFastProver"]
+
+
+def __getattr__(name):
+    if name == "ShardedFastProver":
+        from .sharded_prover import ShardedFastProver
+
+        return ShardedFastProver
+    raise AttributeError(name)

@@ -153,3 +153,39 @@ def test_four_step_ntt_2d_roundtrip(mesh2d):
     x = eng.K.pack(coeffs)
     back = eng.K.unpack(fs.inverse(fs.forward(x)))
     assert back == coeffs
+
+
+def test_dry_shape_check_2pow22():
+    """BASELINE's 2^22 multi-host tier as an abstract-mesh shape check of
+    the production sharded piece chain on a (host, data) = (2, 8) grid —
+    no allocation, full partitioned trace (sharded_prover.dry_shape_check)."""
+    from go_snark_study_tpu.parallel.sharded_prover import dry_shape_check
+
+    info = dry_shape_check(22, (2, 8))
+    assert info["ok"]
+    assert info["devices"] == 16
+    assert info["chunks_per_shard"] == (info["local_lanes"] >> 17)
+    assert info["window_bits"] == 13
+
+
+@pytest.mark.slow
+def test_sharded_prover_2pow14_hier(mesh2d):
+    """Production sharded prover at a 2^14-constraint instance on the 2x4
+    (host, data) mesh: device-resident sharded key, chunk-canonical
+    shard_map pieces, shared witness plans, host hierarchical combine —
+    the path the real multi-chip tiers run (VERDICT r4 item 4)."""
+    from go_snark_study_tpu.models import groth16
+    from go_snark_study_tpu.models.groth16_fast import FastGroth16
+    from go_snark_study_tpu.parallel.sharded_prover import ShardedFastProver
+    from go_snark_study_tpu.synthetic import mul_chain_r1cs
+
+    fast = FastGroth16()
+    sys_ = mul_chain_r1cs(1 << 14, seed=21)
+    setup = fast.setup(sys_, rng=random.Random(4))
+    prover = ShardedFastProver(fast, mesh2d)
+    proof = prover.prove(sys_, setup.pk, rng=random.Random(5))
+    publics = sys_.witness[1 : sys_.n_public + 1]
+    assert groth16.verify_proof(setup.vk, proof, publics)
+    # second proof: sharded key + piece jits all cached
+    proof2 = prover.prove(sys_, setup.pk, rng=random.Random(6))
+    assert groth16.verify_proof(setup.vk, proof2, publics)
