@@ -42,9 +42,10 @@ so a warm repo compiles nothing.
 
 Env overrides: GOSNARK_BENCH_MSM (default 2^20 points), GOSNARK_BENCH_NTT
 (default 2^20), GOSNARK_BENCH_PROVE (comma list of log2 constraint tiers,
-default "16,18,14" — the 2^16 headline tier first; MSM
-programs are size-canonical so later tiers only pay their H-pipeline compile), GOSNARK_BENCH_BUDGET (stage seconds, default 600),
-GOSNARK_BENCH_WARMUP_CAP (default 900).
+default "14,16,18,20", run ascending after one compile_warmup stage that
+precompiles every canonical family + H domain), GOSNARK_BENCH_MSM21 ("0"
+skips the 2^21 MSM probe), GOSNARK_BENCH_BUDGET (stage seconds, default
+1500), GOSNARK_BENCH_WARMUP_CAP (default 600).
 """
 
 import json
@@ -317,6 +318,32 @@ def main():
     msm = fast.msm_g1
     fb_g1 = fast.fb_g1
 
+    tiers = [
+        int(t)
+        for t in os.environ.get("GOSNARK_BENCH_PROVE", "14,16,18,20").split(",")
+        if t.strip()
+    ]
+
+    # ---------------- compile warmup ----------------
+    # Precompile every canonical program family ONCE, from threads (the
+    # remote backend compiles concurrently): MSM big+small chunk families
+    # (G1+G2), fixed-base + affine tiles, and the per-domain H pipelines of
+    # the tiers below.  After this stage every tier is dispatch-only, so
+    # the whole ladder fits one driver run (round 4 lost 2^18/2^14 to
+    # in-stage compiles).  est=0: never skipped — without it nothing else
+    # can finish either.
+    @stage("compile_warmup", est=0)
+    def _warm():
+        t0 = time.time()
+        fast.warmup(
+            families=("big", "small"),
+            domains=sorted({1 << c for c in tiers}),
+            g2=True,
+            fixed_base=True,
+        )
+        RESULT["sub"]["compile_warmup_s"] = round(time.time() - t0, 1)
+        log(f"compile warmup: {time.time()-t0:.1f}s (families+domains ready)")
+
     @stage("msm", est=120)
     def _msm():
         n_points = int(os.environ.get("GOSNARK_BENCH_MSM", 1 << 20))
@@ -343,15 +370,14 @@ def main():
         log(f"MSM points ready ({mode}): {time.time()-t0:.1f}s")
         c_bits = msm.window_bits_for(n_points)
         limbs = scalars_to_limbs(scalars, C.R)
-        run = lambda p, l: msm.window_sums_eager(p, l, c_bits)
+        run = lambda p, l: msm.window_sums_checked(p, l, c_bits)
         t0 = time.time()
         sums = run(aff, limbs)
-        jax.block_until_ready(sums)
+        np.asarray(jax.tree.leaves(sums)[0][:1, :1])  # force execution
         t_compile = time.time() - t0
         log(f"MSM compile+first run: {t_compile:.1f}s (c={c_bits})")
         t0 = time.time()
         sums = run(aff, limbs)
-        jax.block_until_ready(sums)
         total = combine_window_sums(bn.g1, g1b.unpack(sums), c_bits)
         msm_s = time.time() - t0  # full end-to-end: device pipeline + combine
         expect = bn.g1.mul_scalar(bn.g1.g, expect_s)
@@ -385,13 +411,16 @@ def main():
         x = jnp.asarray(
             np.random.RandomState(1).randint(0, 256, (32, nd), dtype=np.int32)
         )
+        # timed regions END WITH A SMALL FETCH: the axon backend defers
+        # execution until a host fetch, so block_until_ready alone would
+        # under-measure and push the work into the next stage's fetch
         t0 = time.time()
         y = eng.forward(x)
-        jax.block_until_ready(y)
+        np.asarray(y[:1, :1])
         RESULT["sub"]["ntt_compile_s"] = round(time.time() - t0, 1)
         t0 = time.time()
         y = eng.forward(x)
-        jax.block_until_ready(y)
+        np.asarray(y[:1, :1])
         ntt_ms = (time.time() - t0) * 1e3
         mfu = (
             (nd / 2 * nlog) * mm_cost["int32_ops"] / (ntt_ms / 1e3) / chip.int32_tops
@@ -401,11 +430,6 @@ def main():
         log(f"NTT 2^{nlog} forward: {ntt_ms:.1f} ms (butterfly-mul MFU {100*mfu:.0f}%)")
 
     # ---------------- Groth16 tier ladder ----------------
-    tiers = [
-        int(t)
-        for t in os.environ.get("GOSNARK_BENCH_PROVE", "16,18,14").split(",")
-        if t.strip()
-    ]
     from go_snark_study_tpu.models import groth16 as g16m
     from go_snark_study_tpu.synthetic import mul_chain_r1cs
 
@@ -426,6 +450,7 @@ def main():
                 )
             ):
                 jax.block_until_ready(leaf)
+            np.asarray(jax.tree.leaves(fsetup.pk._device.at)[0][:1, :1])
             t_setup = time.time() - t0
             log(f"groth16-fast 2^{clog} setup: {t_setup:.1f}s (device-resident)")
             RESULT["sub"][f"groth16_setup_2^{clog}_s"] = round(t_setup, 1)
@@ -461,11 +486,42 @@ def main():
                 f"(4 pairings, host), verified={ver_ok}"
             )
 
-    for clog in tiers:
-        # est reflects the COLD cost (setup commits + the tier's H-pipeline
-        # and G2-family compiles; no cross-process compile reuse on this
-        # backend): ~300 s at 2^14, +150 s per doubling above it
-        _tier(clog, est=300 + 150 * max(0, clog - 14))
+    # est reflects the WARM cost (compile_warmup precompiled every family
+    # and H domain): setup fixed-base commits dominate and scale with size.
+    # Ascending order: cheap tiers land first, the 2^20 headline last.
+    _TIER_EST = {14: 60, 16: 90, 18: 160, 20: 420, 21: 800}
+    for clog in sorted(tiers):
+        _tier(clog, est=_TIER_EST.get(clog, 300 + 150 * max(0, clog - 14)))
+
+    # ---------------- MSM at 2^21 (single-chip feasibility probe) --------
+    # The full 2^21 prove tier needs a ~350 s setup on top; the MSM itself
+    # is the scaling question (pk residency + throughput at 2x the
+    # headline) — run it if budget remains or when explicitly requested.
+    @stage("msm_2^21", est=240)
+    def _msm21():
+        if os.environ.get("GOSNARK_BENCH_MSM21", "auto") == "0":
+            return
+        n_points = 1 << 21
+        from go_snark_study_tpu.ops.msm import scalars_to_windows
+
+        gens = scalars_to_windows(list(range(1, n_points + 1)), C.R)
+        aff = g1b.to_affine_tiled(fb_g1.batch_mul_device(gens))
+        scalars = [rng.randrange(C.R) for _ in range(n_points)]
+        limbs = scalars_to_limbs(scalars, C.R)
+        c_bits = msm.window_bits_for(n_points)
+        t0 = time.time()
+        sums = msm.window_sums_checked(aff, limbs, c_bits)
+        total = combine_window_sums(bn.g1, g1b.unpack(sums), c_bits)
+        msm_s = time.time() - t0
+        expect_s = sum(s * (i + 1) for i, s in enumerate(scalars)) % C.R
+        ok = bn.g1.equal(total, bn.g1.mul_scalar(bn.g1.g, expect_s))
+        RESULT["correct"] = RESULT.get("correct", True) and bool(ok)
+        RESULT["sub"]["msm_2^21_ms"] = round(msm_s * 1e3, 1)
+        RESULT["sub"]["msm_2^21_pts_per_s"] = round(n_points / msm_s, 1)
+        log(
+            f"MSM 2^21 G1: {msm_s*1e3:.1f} ms ({n_points/msm_s:.0f} pts/s) "
+            f"correct={ok}"
+        )
 
     # ---------------- modmul throughput + MFU ----------------
     @stage("modmul", est=45)
@@ -485,12 +541,12 @@ def main():
 
         f = jax.jit(chain8)
         r = f(a, a)
-        jax.block_until_ready(r)
+        np.asarray(r[:1, :1])  # deferred-execution fence (see NTT stage)
         t0 = time.time()
         reps = 4
         for _ in range(reps):
             r = f(r, a)
-        jax.block_until_ready(r)
+        np.asarray(r[:1, :1])
         per_s = 8 * reps * n / (time.time() - t0)
         mfu = per_s * mm_cost["int32_ops"] / chip.int32_tops
         RESULT["sub"]["modmul_mps"] = round(per_s / 1e6, 1)
