@@ -62,7 +62,7 @@ T0 = time.time()
 # axon backend) can land the headline MSM + NTT + the 2^16 prove tier and
 # still finish under the driver's observed external allowance (>= ~1700 s);
 # a stalled warmup forfeits depth, never the headline (MSM runs first)
-BUDGET = float(os.environ.get("GOSNARK_BENCH_BUDGET", 1500))
+BUDGET = float(os.environ.get("GOSNARK_BENCH_BUDGET", 2400))
 WARMUP_CAP = float(os.environ.get("GOSNARK_BENCH_WARMUP_CAP", 600))
 
 RESULT = {"sub": {}}

@@ -51,6 +51,7 @@ class NTTEngine:
         self._coset_dev: Dict[Tuple[int, int, bool], jnp.ndarray] = {}
         self._jits: Dict[Tuple[int, bool], callable] = {}
         self._pl_bf = None  # fused Pallas butterfly (lazily built)
+        self._pl_small: Dict[Tuple[int, bool], callable] = {}  # fused g-point NTTs
 
     # ------------------------------------------------------------------
     def _butterfly(self, even, odd, tw):
@@ -194,15 +195,93 @@ class NTTEngine:
             self._coset_np[key] = self.K.pack_np(vals)
         return self._coset_np[key]
 
+    # -- fused multi-stage column transform (TPU) -----------------------
+    RADIX = 16  # rows per fused kernel: 17 CIOS muls traced, like a G2 add
+
+    def _small_ntt(self, g: int, inverse: bool, interpret: bool = False):
+        """Fused g-point NTT kernel (g <= RADIX), cached per direction."""
+        key = (g, inverse)
+        if key not in self._pl_small or interpret:
+            from .pallas_ntt import make_pallas_small_ntt
+
+            w = self.root_of_unity(g)
+            if inverse:
+                w = pow(w, -1, self.r)
+            k = g.bit_length() - 1
+            stage_tws = tuple(
+                tuple(
+                    tuple(
+                        int(v)
+                        for v in self.K.pack_np([pow(w, j * (g >> s), self.r)])[
+                            :, 0
+                        ]
+                    )
+                    for j in range(1 << (s - 1))
+                )
+                for s in range(1, k + 1)
+            )
+            fn = make_pallas_small_ntt(self.r, g, stage_tws, interpret=interpret)
+            if interpret:
+                return fn
+            self._pl_small[key] = fn
+        return self._pl_small[key]
+
+    def _fused_tw_np(self, n_len: int, inverse: bool, a: int) -> np.ndarray:
+        """(32, a, b) table w^{±k1·i2} for the inner four-step twiddle —
+        n_len <= 1024 here, so it is a small trace constant."""
+        key = ("fused_tw", n_len, inverse, a)
+        if key not in self._coset_np:
+            b = n_len // a
+            w = self.root_of_unity(n_len)
+            if inverse:
+                w = pow(w, -1, self.r)
+            vals = [pow(w, k1 * i2, self.r) for k1 in range(a) for i2 in range(b)]
+            self._coset_np[key] = self.K.pack_np(vals).reshape(LIMBS, a, b)
+        return self._coset_np[key]
+
+    def _col_fused(self, x3: jnp.ndarray, n_len: int, inverse: bool):
+        """Recursive four-step column transform with fused radix-16
+        kernels: a length-1024 column NTT is 3 kernel passes + 2 twiddle
+        muls instead of 10 stage passes — the VMEM-resident multi-stage
+        form.  Natural order along axis 1 in and out, like
+        :meth:`_col_transform` (the identity w_{n}^{a} = w_{n/a} makes the
+        recursive sub-transforms use their canonical roots)."""
+        K = self.K
+        b_lanes = x3.shape[2]
+        if n_len <= self.RADIX:
+            return self._small_ntt(n_len, inverse)(x3)
+        a = self.RADIX
+        b = n_len // a
+        y = self._col_fused(
+            x3.reshape(LIMBS, a, b * b_lanes), a, inverse
+        ).reshape(LIMBS, a, b, b_lanes)
+        tw = jnp.asarray(self._fused_tw_np(n_len, inverse, a))[..., None]
+        y = K._mul_impl(y, jnp.broadcast_to(tw, y.shape))
+        y = jnp.swapaxes(y, 1, 2)  # (32, b, a, B)
+        y = self._col_fused(
+            y.reshape(LIMBS, b, a * b_lanes), b, inverse
+        ).reshape(LIMBS, b, a, b_lanes)
+        return y.reshape(LIMBS, n_len, b_lanes)
+
     def _col_transform(self, x3: jnp.ndarray, n_len: int, inverse: bool):
         """Length-``n_len`` NTTs along axis 1 of (32, n_len, B), batched
         over the (wide) minor axis.  Master twiddles for n_len are tiny and
-        baked as constants."""
+        baked as constants.  On TPU with tile-aligned lanes this dispatches
+        to the fused multi-stage path (:meth:`_col_fused`); the XLA
+        stage-at-a-time loop below is the bit-identical fallback."""
         K = self.K
         b_lanes = x3.shape[2]
         k = n_len.bit_length() - 1
         if k == 0:
             return x3
+        import os as _os
+
+        if (
+            K._use_pallas()
+            and _os.environ.get("GOSNARK_NTT_FUSED", "1") != "0"
+            and (n_len * b_lanes) % (self.RADIX * 1024) == 0
+        ):
+            return self._col_fused(x3, n_len, inverse)
         t_np = self.master_np(n_len, inverse)  # (32, n_len/2), small
         # bit-reverse rows (moves whole B-lane rows: efficient)
         idx = np.zeros(n_len, dtype=np.int64)

@@ -101,3 +101,38 @@ def test_pallas_butterfly_matches_xla_on_tpu():
     lo_x, hi_x = K._add_impl(even, t), K._sub_impl(even, t)
     assert np.array_equal(np.asarray(lo_p), np.asarray(lo_x))
     assert np.array_equal(np.asarray(hi_p), np.asarray(hi_x))
+
+
+def test_col_fused_recursion_matches_stage_loop():
+    """The fused multi-stage column transform (_col_fused: recursive
+    four-step with radix-16 kernels) must equal the XLA stage loop.  On the
+    CPU backend the pallas kernels are off, so the radix kernels are stood
+    in by the stage-loop itself — this pins the recursion structure and the
+    w^{k1*i2} twiddle tables; the TPU run compares the real fused kernels
+    against GOSNARK_NTT_FUSED=0 bit-for-bit (bench/manual session)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from go_snark_study_tpu.ops.limbs import LIMBS
+    from go_snark_study_tpu.ops.ntt import NTTEngine
+
+    import random
+
+    eng = NTTEngine()
+    eng._small_ntt = lambda g, inv, interpret=False: (
+        lambda x3: eng._col_transform(x3, g, inv)
+    )
+    rng = random.Random(9)
+    for n_len, b in ((64, 256), (256, 8), (32, 16)):
+        # canonical field elements (raw random limbs would be >= p, where
+        # the two implementations may legitimately differ)
+        vals = [rng.randrange(eng.r) for _ in range(n_len * b)]
+        x3 = eng.K.pack(vals).reshape(LIMBS, n_len, b)
+        for inverse in (False, True):
+            got = eng._col_fused(x3, n_len, inverse)
+            ref = eng._col_transform(x3, n_len, inverse)
+            assert np.array_equal(np.asarray(got), np.asarray(ref)), (
+                n_len,
+                b,
+                inverse,
+            )
