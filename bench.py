@@ -3,10 +3,12 @@
 Headline metric: END-TO-END Pippenger MSM throughput over G1 (points/sec/
 chip — the full ``window_sums`` device pipeline + host window combine that
 the prover actually uses), the dominant cost of Groth16 proof generation and
-the BASELINE.json primary metric.  The MSM uses DISTINCT points (i+1)·G,
-generated on device by the fixed-base engine; the correctness oracle is
-(Σ sᵢ·(i+1))·G.  Set GOSNARK_BENCH_MSM_MODE=samepoint for the broadcast
-variant.
+the BASELINE.json primary metric.  The MSM uses DISTINCT random points
+kᵢ·G (random kᵢ — structured small multiples collide under signed-digit
+accumulation and would trip the incomplete-formula fallback, which real
+keys never do), generated on device by the fixed-base engine; the
+correctness oracle is (Σ sᵢ·kᵢ)·G.  Set GOSNARK_BENCH_MSM_MODE=samepoint
+for the broadcast variant.
 
 Sub-metrics: NTT wall time at the target 2^20 domain, the Groth16 tier
 ladder (setup/prove/verify at 2^14 / 2^16 / 2^18 as budget allows), modmul
@@ -45,7 +47,8 @@ Env overrides: GOSNARK_BENCH_MSM (default 2^20 points), GOSNARK_BENCH_NTT
 default "14,16,18,20", run ascending after one compile_warmup stage that
 precompiles every canonical family + H domain), GOSNARK_BENCH_MSM21 ("0"
 skips the 2^21 MSM probe), GOSNARK_BENCH_BUDGET (stage seconds, default
-1500), GOSNARK_BENCH_WARMUP_CAP (default 600).
+3200 — a cold process spends most of it in the two compile-warmup
+stages), GOSNARK_BENCH_WARMUP_CAP (default 600).
 """
 
 import json
@@ -62,7 +65,7 @@ T0 = time.time()
 # axon backend) can land the headline MSM + NTT + the 2^16 prove tier and
 # still finish under the driver's observed external allowance (>= ~1700 s);
 # a stalled warmup forfeits depth, never the headline (MSM runs first)
-BUDGET = float(os.environ.get("GOSNARK_BENCH_BUDGET", 2400))
+BUDGET = float(os.environ.get("GOSNARK_BENCH_BUDGET", 3200))
 WARMUP_CAP = float(os.environ.get("GOSNARK_BENCH_WARMUP_CAP", 600))
 
 RESULT = {"sub": {}}
@@ -324,25 +327,22 @@ def main():
         if t.strip()
     ]
 
-    # ---------------- compile warmup ----------------
-    # Precompile every canonical program family ONCE, from threads (the
-    # remote backend compiles concurrently): MSM big+small chunk families
-    # (G1+G2), fixed-base + affine tiles, and the per-domain H pipelines of
-    # the tiers below.  After this stage every tier is dispatch-only, so
-    # the whole ladder fits one driver run (round 4 lost 2^18/2^14 to
-    # in-stage compiles).  est=0: never skipped — without it nothing else
-    # can finish either.
+    # ---------------- compile warmup, stage 1: the headline family ------
+    # Precompile the canonical families from threads (the remote backend
+    # overlaps compiles).  Split in two stages so the MSM headline lands
+    # even if the driver cuts a long cold run: first only what the 2^20
+    # G1 MSM needs, then everything else (G2, small family, fixed-base,
+    # per-domain H pipelines) before the tier ladder.  est=0: never
+    # skipped — nothing else can run without the compiles.
     @stage("compile_warmup", est=0)
     def _warm():
+        import logging
+
+        logging.basicConfig(level=logging.INFO, stream=sys.stderr)
         t0 = time.time()
-        fast.warmup(
-            families=("big", "small"),
-            domains=sorted({1 << c for c in tiers}),
-            g2=True,
-            fixed_base=True,
-        )
+        fast.warmup(families=("big",), domains=(), g2=False, fixed_base=True)
         RESULT["sub"]["compile_warmup_s"] = round(time.time() - t0, 1)
-        log(f"compile warmup: {time.time()-t0:.1f}s (families+domains ready)")
+        log(f"compile warmup (msm family): {time.time()-t0:.1f}s")
 
     @stage("msm", est=120)
     def _msm():
@@ -352,13 +352,20 @@ def main():
         scalars = [rng.randrange(C.R) for _ in range(n_points)]
         t0 = time.time()
         if mode == "distinct":
-            # points (i+1)·G generated ON DEVICE by the fixed-base engine
-            # (packing 2^20 host points would cost more than the MSM)
+            # points kᵢ·G with RANDOM kᵢ, generated ON DEVICE by the
+            # fixed-base engine (packing 2^20 host points would cost more
+            # than the MSM).  Random multiples mirror a real proving key
+            # (commitments are indistinguishable from random group
+            # elements); small structured multiples like (i+1)·G make
+            # signed-digit partial sums collide with incoming points and
+            # permanently trip the incomplete-formula fallback — a
+            # pathology real keys never exhibit.
             from go_snark_study_tpu.ops.msm import scalars_to_windows
 
-            gens = scalars_to_windows(list(range(1, n_points + 1)), C.R)
+            ks = [rng.randrange(1, C.R) for _ in range(n_points)]
+            gens = scalars_to_windows(ks, C.R)
             aff = g1b.to_affine_tiled(fb_g1.batch_mul_device(gens))
-            expect_s = sum(s * (i + 1) for i, s in enumerate(scalars)) % C.R
+            expect_s = sum(s * k for s, k in zip(scalars, ks)) % C.R
         else:
             one = g1b.pack([bn.g1.g])
             pts = jax.tree.map(
@@ -395,6 +402,7 @@ def main():
         RESULT["sub"][f"msm_2^{plog}_ms"] = round(msm_s * 1e3, 1)
         RESULT["sub"]["msm_compile_s"] = round(t_compile, 1)
         RESULT["sub"]["msm_points_mode"] = mode
+        RESULT["sub"]["msm_fallback_hits"] = msm.fallback_hits
         RESULT["sub"].setdefault("mfu", {})["msm_accumulate"] = round(mfu, 3)
         log(
             f"MSM 2^{plog} G1 end-to-end: {msm_s*1e3:.1f} ms "
@@ -403,7 +411,7 @@ def main():
         )
 
     # ---------------- NTT at the 2^20 target ----------------
-    @stage("ntt", est=60)
+    @stage("ntt", est=100)
     def _ntt():
         eng = fast.ntt
         nd = int(os.environ.get("GOSNARK_BENCH_NTT", 1 << 20))
@@ -428,6 +436,71 @@ def main():
         RESULT["sub"][f"ntt_2^{nlog}_ms"] = round(ntt_ms, 1)
         RESULT["sub"].setdefault("mfu", {})["ntt_butterfly"] = round(mfu, 3)
         log(f"NTT 2^{nlog} forward: {ntt_ms:.1f} ms (butterfly-mul MFU {100*mfu:.0f}%)")
+
+    # ---------------- modmul throughput + MFU (cheap — run it early) -----
+    @stage("modmul", est=45)
+    def _modmul():
+        n = 1 << 20
+        a = jnp.asarray(
+            np.random.RandomState(0).randint(0, 256, (32, n), dtype=np.int32)
+        )
+
+        def chain8(x, y):
+            # y passed as an ARGUMENT: closing over it bakes the 128 MB
+            # buffer into the HLO as a literal (the 160-318 MB cache
+            # entries of rounds 2-3 were exactly this)
+            for _ in range(8):
+                x = Kr._mul_impl(x, y)
+            return x
+
+        f = jax.jit(chain8)
+        r = f(a, a)
+        np.asarray(r[:1, :1])  # deferred-execution fence (see NTT stage)
+        t0 = time.time()
+        reps = 4
+        for _ in range(reps):
+            r = f(r, a)
+        np.asarray(r[:1, :1])
+        per_s = 8 * reps * n / (time.time() - t0)
+        mfu = per_s * mm_cost["int32_ops"] / chip.int32_tops
+        RESULT["sub"]["modmul_mps"] = round(per_s / 1e6, 1)
+        RESULT["sub"].setdefault("mfu", {})["modmul"] = round(mfu, 3)
+        log(
+            f"modmul: {per_s/1e6:.1f} M/s @ batch 2^20 "
+            f"(MFU {100*mfu:.0f}% of {chip.int32_tops/1e12:.1f} int32 Tops)"
+        )
+
+    # ---------------- compile warmup, stage 2: everything else ----------
+    # TIME-BOXED: the G2/small/H families can cost thousands of compile
+    # seconds on a bad tunnel day.  The warmup runs in a thread and the
+    # ladder starts once it finishes OR 55% of the remaining budget is
+    # gone — tiers then block only on the specific programs they need
+    # (piece jits are lock-guarded), and every completed tier still lands.
+    @stage("compile_warmup_rest", est=0)
+    def _warm_rest():
+        t0 = time.time()
+        done = threading.Event()
+
+        def run():
+            try:
+                fast.warmup(
+                    families=("big", "small"),
+                    domains=sorted({1 << c for c in tiers}),
+                    g2=True,
+                    fixed_base=True,
+                )
+            finally:
+                done.set()
+
+        threading.Thread(target=run, daemon=True).start()
+        cap = max(120.0, 0.55 * left())
+        done.wait(timeout=cap)
+        RESULT["sub"]["compile_warmup_rest_s"] = round(time.time() - t0, 1)
+        RESULT["sub"]["compile_warmup_rest_done"] = done.is_set()
+        log(
+            f"compile warmup (rest): {time.time()-t0:.1f}s "
+            f"(complete={done.is_set()}; ladder starts regardless)"
+        )
 
     # ---------------- Groth16 tier ladder ----------------
     from go_snark_study_tpu.models import groth16 as g16m
@@ -480,6 +553,9 @@ def main():
             RESULT["sub"][f"groth16_prove_2^{clog}_s"] = round(t_prove, 2)
             RESULT["sub"][f"groth16_prove_cold_2^{clog}_s"] = round(t_prove_cold, 1)
             RESULT["sub"]["groth16_verify_ms"] = round(t_verify * 1e3, 1)
+            RESULT["sub"]["prove_fallback_hits"] = (
+                fast.msm_g1.fallback_hits + fast.msm_g2.fallback_hits
+            )
             log(
                 f"groth16-fast 2^{clog} constraints: prove {t_prove:.2f}s "
                 f"(cold {t_prove_cold:.1f}s), verify {t_verify*1e3:.0f} ms "
@@ -489,9 +565,11 @@ def main():
     # est reflects the WARM cost (compile_warmup precompiled every family
     # and H domain): setup fixed-base commits dominate and scale with size.
     # Ascending order: cheap tiers land first, the 2^20 headline last.
-    _TIER_EST = {14: 60, 16: 90, 18: 160, 20: 420, 21: 800}
+    # tiers run UNGATED (est=0): each completed tier lands in the artifact
+    # immediately, and a driver cut mid-ladder still keeps everything
+    # measured so far (the signal handler emits the partial JSON)
     for clog in sorted(tiers):
-        _tier(clog, est=_TIER_EST.get(clog, 300 + 150 * max(0, clog - 14)))
+        _tier(clog, est=0)
 
     # ---------------- MSM at 2^21 (single-chip feasibility probe) --------
     # The full 2^21 prove tier needs a ~350 s setup on top; the MSM itself
@@ -504,7 +582,8 @@ def main():
         n_points = 1 << 21
         from go_snark_study_tpu.ops.msm import scalars_to_windows
 
-        gens = scalars_to_windows(list(range(1, n_points + 1)), C.R)
+        ks = [rng.randrange(1, C.R) for _ in range(n_points)]
+        gens = scalars_to_windows(ks, C.R)
         aff = g1b.to_affine_tiled(fb_g1.batch_mul_device(gens))
         scalars = [rng.randrange(C.R) for _ in range(n_points)]
         limbs = scalars_to_limbs(scalars, C.R)
@@ -513,7 +592,7 @@ def main():
         sums = msm.window_sums_checked(aff, limbs, c_bits)
         total = combine_window_sums(bn.g1, g1b.unpack(sums), c_bits)
         msm_s = time.time() - t0
-        expect_s = sum(s * (i + 1) for i, s in enumerate(scalars)) % C.R
+        expect_s = sum(s * k for s, k in zip(scalars, ks)) % C.R
         ok = bn.g1.equal(total, bn.g1.mul_scalar(bn.g1.g, expect_s))
         RESULT["correct"] = RESULT.get("correct", True) and bool(ok)
         RESULT["sub"]["msm_2^21_ms"] = round(msm_s * 1e3, 1)
@@ -521,39 +600,6 @@ def main():
         log(
             f"MSM 2^21 G1: {msm_s*1e3:.1f} ms ({n_points/msm_s:.0f} pts/s) "
             f"correct={ok}"
-        )
-
-    # ---------------- modmul throughput + MFU ----------------
-    @stage("modmul", est=45)
-    def _modmul():
-        n = 1 << 20
-        a = jnp.asarray(
-            np.random.RandomState(0).randint(0, 256, (32, n), dtype=np.int32)
-        )
-
-        def chain8(x, y):
-            # y passed as an ARGUMENT: closing over it bakes the 128 MB
-            # buffer into the HLO as a literal (the 160-318 MB cache
-            # entries of rounds 2-3 were exactly this)
-            for _ in range(8):
-                x = Kr._mul_impl(x, y)
-            return x
-
-        f = jax.jit(chain8)
-        r = f(a, a)
-        np.asarray(r[:1, :1])  # deferred-execution fence (see NTT stage)
-        t0 = time.time()
-        reps = 4
-        for _ in range(reps):
-            r = f(r, a)
-        np.asarray(r[:1, :1])
-        per_s = 8 * reps * n / (time.time() - t0)
-        mfu = per_s * mm_cost["int32_ops"] / chip.int32_tops
-        RESULT["sub"]["modmul_mps"] = round(per_s / 1e6, 1)
-        RESULT["sub"].setdefault("mfu", {})["modmul"] = round(mfu, 3)
-        log(
-            f"modmul: {per_s/1e6:.1f} M/s @ batch 2^20 "
-            f"(MFU {100*mfu:.0f}% of {chip.int32_tops/1e12:.1f} int32 Tops)"
         )
 
     finalize()

@@ -107,7 +107,12 @@ class FastGroth16:
     @property
     def msm_g2(self) -> MSMEngine:
         if self._msm_g2 is None:
-            self._msm_g2 = MSMEngine(self.g2b, self.ctx.bn.g2, C.R)
+            # no small-chunk family for G2: one more compile family is not
+            # worth it for the (cheap) small-tier b2 MSM, which pads into
+            # the big chunks instead
+            self._msm_g2 = MSMEngine(
+                self.g2b, self.ctx.bn.g2, C.R, small_chunk_lanes=0
+            )
         return self._msm_g2
 
     # ------------------------------------------------------------------
@@ -127,23 +132,50 @@ class FastGroth16:
         programs should also compile.  Compiles are launched from threads —
         XLA releases the GIL and the backend compiles families
         concurrently.  Idempotent and cheap when everything is cached."""
+        import logging
+        import time as _time
+
         import numpy as np
         from concurrent.futures import ThreadPoolExecutor
 
+        _logger = logging.getLogger(__name__)
         eng = self.msm_g1
         jobs = []
 
-        def msm_family(msm, bgroup, lanes, c):
+        def timed(label, fn):
             def run():
-                # two chunks so the cross-chunk bucket add compiles too;
-                # identity points + zero scalars keep execution trivial
-                aff = bgroup.zeros(2 * lanes)
-                limbs = jnp.zeros((32, 2 * lanes), jnp.int32)
-                plans = eng.make_plans(limbs, c, 2 * lanes)
-                sums, bad = msm.window_sums_eager(aff, limbs, c, plans)
-                np.asarray(jax.tree.leaves(sums)[0][:1, :1])
+                t0 = _time.time()
+                fn()
+                _logger.info("warmup %s: %.1fs", label, _time.time() - t0)
 
             return run
+
+        def msm_family(msm, bgroup, lanes, c):
+            tag = f"msm[arity{msm.bg._arity},c{c}]"
+
+            def run():
+                # piece by piece (apply, then cross-chunk badd, then
+                # reduce) with per-piece timing — identity points + zero
+                # scalars keep execution trivial; compiles dominate
+                aff = bgroup.zeros(lanes)
+                limbs = jnp.zeros((32, lanes), jnp.int32)
+                plans = eng.make_plans(limbs, c, lanes)
+                plan0 = plans["chunks"][0][0]
+                t0 = _time.time()
+                b, bad = msm._piece_jit("apply", c)(aff, plan0)
+                np.asarray(jax.tree.leaves(b)[0].ravel()[:1])
+                _logger.info("warmup %s apply: %.1fs", tag, _time.time() - t0)
+                t0 = _time.time()
+                b2, _f = msm._piece_jit("badd", c)(b, b)
+                np.asarray(jax.tree.leaves(b2)[0].ravel()[:1])
+                _logger.info("warmup %s badd: %.1fs", tag, _time.time() - t0)
+                t0 = _time.time()
+                sums, _f = msm._piece_jit("reduce", c)(b2)
+                msm._piece_jit("or", c)(bad, bad)
+                np.asarray(jax.tree.leaves(sums)[0].ravel()[:1])
+                _logger.info("warmup %s reduce: %.1fs", tag, _time.time() - t0)
+
+            return timed(tag, run)
 
         fams = []
         if "big" in families and eng.chunk_lanes:
@@ -164,7 +196,9 @@ class FastGroth16:
             dummy = jnp.zeros((32, lanes), jnp.int32)
             eng._piece_jit("plan", c)(eng._piece_jit("digits", c)(dummy))
             jobs.append(msm_family(self.msm_g1, self.g1b, lanes, c))
-            if g2:
+            # G2 only compiles families it actually routes to (no small
+            # family there — see msm_g2)
+            if g2 and self.msm_g2._chunk_for(lanes) == lanes:
                 jobs.append(msm_family(self.msm_g2, self.g2b, lanes, c))
 
         def h_family(nd):
@@ -176,15 +210,26 @@ class FastGroth16:
                 )
                 np.asarray(out[:1, :1])
 
-            return run
+            return timed(f"h[2^{nd.bit_length()-1}]", run)
 
         for nd in domains:
             jobs.append(h_family(int(nd)))
 
         if fixed_base:
-            jobs.append(lambda: self.fb_g1.batch_mul([1]))
+            jobs.append(timed("fb_g1", lambda: self.fb_g1.batch_mul([1])))
             if g2:
-                jobs.append(lambda: self.fb_g2.batch_mul([1]))
+                jobs.append(timed("fb_g2", lambda: self.fb_g2.batch_mul([1])))
+            # the affine-normalise tile program (setup + MSM point prep)
+            jobs.append(
+                timed(
+                    "affine_g1",
+                    lambda: np.asarray(
+                        jax.tree.leaves(
+                            self.g1b.to_affine_tiled(self.g1b.zeros(8192))
+                        )[0][:1, :1]
+                    ),
+                )
+            )
 
         if not jobs:
             return
@@ -489,11 +534,15 @@ class FastGroth16:
         c_m = self.msm_g1.window_bits_for(dpk.m_pad)
         c_p = self.msm_g1.window_bits_for(dpk.mp_pad)
         c_h = self.msm_g1.window_bits_for(dpk.n_pad)
+        # G2 has no small-chunk family; at small tiers its window width /
+        # chunk span differ from G1's and the plan cannot be shared there
+        c_m2 = self.msm_g2.window_bits_for(dpk.m_pad)
         # ONE sort/compaction plan for the witness scalars, shared by the
         # three same-scalar MSMs (at, b1 in G1 AND b2 in G2 — plans carry no
         # group data), built on the main thread so its jits exist before the
         # workers race (MSMEngine._piece_jit is also lock-guarded).
         plans_w = self.msm_g1.make_plans(w_limbs, c_m)
+        plans_w2 = plans_w if c_m2 == c_m else None
         # Five MSMs + the H pipeline, all device-resident: at/b1 share one
         # compiled apply program (same shapes, same engine), the H digits
         # feed the ptau MSM without leaving the device.  The G1 side, the
@@ -510,7 +559,9 @@ class FastGroth16:
             return s_at, s_b1, s_cd
 
         def g2_side():
-            return self.msm_g2.window_sums_eager(dpk.b2, w_limbs, c_m, plans_w)
+            return self.msm_g2.window_sums_eager(
+                dpk.b2, w_limbs, c_m2, plans_w2
+            )
 
         def h_side():
             h_digits = self._get_h_jit(n, dpk.n_pad)(
@@ -537,6 +588,7 @@ class FastGroth16:
         def chk1(sf, pts, limbs, c, plans=None):
             sums, bad = sf
             if bool(_np.asarray(bad)):
+                self.msm_g1.fallback_hits += 1
                 sums, _ = self.msm_g1.fallback_engine().window_sums_eager(
                     pts, limbs, c, plans
                 )
@@ -548,8 +600,9 @@ class FastGroth16:
         s_h = chk1(s_h, dpk.ptau, h_digits, c_h)
         sums_b2, bad_b2 = s_b2
         if bool(_np.asarray(bad_b2)):
+            self.msm_g2.fallback_hits += 1
             sums_b2, _ = self.msm_g2.fallback_engine().window_sums_eager(
-                dpk.b2, w_limbs, c_m, plans_w
+                dpk.b2, w_limbs, c_m2, plans_w2
             )
 
         comb1 = lambda sums, c: combine_window_sums(
@@ -557,7 +610,7 @@ class FastGroth16:
         )
         pi_a = comb1(s_at, c_m)
         pi_b_g1 = comb1(s_b1, c_m)
-        pi_b = combine_window_sums(g2, self.g2b.unpack(sums_b2), c_m)
+        pi_b = combine_window_sums(g2, self.g2b.unpack(sums_b2), c_m2)
         pi_c = comb1(s_cd, c_p)
         pi_h = comb1(s_h, c_h)
 

@@ -232,7 +232,10 @@ class MSMEngine:
             # canonical chunking only on the TPU backend, where remote
             # compiles (30-300 s per shape) dominate — the CPU backend
             # (tests) keeps the per-shape path, whose compiles are cheap
-            # and whose execution cost scales with the padded lanes
+            # and whose execution cost scales with the padded lanes.
+            # small_chunk_lanes=0 explicitly disables the small family
+            # (used for G2: its compile family is expensive and the small
+            # tiers' G2 MSM is cheap enough through the big chunks).
             try:
                 if jax.default_backend() in ("tpu", "axon"):
                     chunk_lanes = _BIG_CHUNK
@@ -241,6 +244,8 @@ class MSMEngine:
                         small_chunk_max = 2 * _SMALL_CHUNK
             except Exception:
                 pass
+        if small_chunk_lanes == 0:
+            small_chunk_lanes = None
         self.chunk_lanes = chunk_lanes
         self.small_chunk_lanes = small_chunk_lanes
         self.small_chunk_max = small_chunk_max or (
@@ -249,6 +254,7 @@ class MSMEngine:
         self._jits = {}
         self._jit_lock = threading.Lock()
         self._fallback = None
+        self.fallback_hits = 0  # degeneracy-flag re-runs (observability)
 
     # ------------------------------------------------------------------
     # parameter selection
@@ -691,10 +697,33 @@ class MSMEngine:
         (window sums, bad flag), sum leaves (32, W).  Device-resident
         throughout; host code only sequences per-piece jitted calls.
         ``plans`` (from :meth:`make_plans`, possibly of another engine)
-        skips the digit/sort work."""
+        skips the digit/sort work.
+
+        GOSNARK_MSM_PROFILE=1 fences and times each phase into
+        ``profiling.PROFILER`` (changes the async dispatch pattern — for
+        analysis runs only)."""
+        prof = os.environ.get("GOSNARK_MSM_PROFILE") == "1"
+        if prof:
+            import time as _t
+
+            from ..profiling import PROFILER
+
+            def fence(label, t0, val):
+                leaf = jax.tree.leaves(val)[0]
+                np.asarray(leaf.ravel()[:1])
+                PROFILER.record(f"msm.{label}", _t.time() - t0)
+
+            _now = _t.time
+        else:
+            fence = lambda label, t0, val: None
+            _now = lambda: 0.0
+
         n = jax.tree.leaves(aff_points)[0].shape[-1]
+        t0 = _now()
         if plans is None:
             plans = self.make_plans(limbs, c, n)
+            if prof and plans["mode"] != "small":
+                fence("plan", t0, plans["chunks"])
         else:
             assert plans["c"] == c and plans["n"] == n, (plans["c"], plans["n"], c, n)
         if plans["mode"] == "small":
@@ -714,6 +743,7 @@ class MSMEngine:
         ofn = self._piece_jit("or", c)
         buckets = None
         bad = None
+        t0 = _now()
         for ci, c0 in enumerate(range(0, n + pad, span)):
             pts = _tree_map_point(
                 lambda c_: jax.lax.dynamic_slice_in_dim(
@@ -738,8 +768,11 @@ class MSMEngine:
             else:
                 buckets, f_b = bfn(buckets, b)
                 bad = ofn(bad, f_b)
+        fence("apply+badd", t0, buckets)
+        t0 = _now()
         sums, f_r = self._piece_jit("reduce", c)(buckets)
         bad = ofn(bad, f_r)
+        fence("reduce", t0, sums)
         if wpad:
             sums = _tree_map_point(lambda c_: c_[:, :w], sums)
         return sums, bad
@@ -771,6 +804,7 @@ class MSMEngine:
         re-run.  Returns window sums only (exactly correct)."""
         sums, bad = self.window_sums_eager(aff_points, limbs, c, plans)
         if not self.complete and bool(np.asarray(bad)):
+            self.fallback_hits += 1
             sums, _ = self.fallback_engine().window_sums_eager(
                 aff_points, limbs, c, plans
             )
