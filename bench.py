@@ -44,8 +44,8 @@ so a warm repo compiles nothing.
 
 Env overrides: GOSNARK_BENCH_MSM (default 2^20 points), GOSNARK_BENCH_NTT
 (default 2^20), GOSNARK_BENCH_PROVE (comma list of log2 constraint tiers,
-default "14,16,18,20", run ascending after one compile_warmup stage that
-precompiles every canonical family + H domain), GOSNARK_BENCH_MSM21 ("0"
+default "16,20,14,18" — priority order, run as given after the
+compile-warmup stages), GOSNARK_BENCH_MSM21 ("0"
 skips the 2^21 MSM probe), GOSNARK_BENCH_BUDGET (stage seconds, default
 3200 — a cold process spends most of it in the two compile-warmup
 stages), GOSNARK_BENCH_WARMUP_CAP (default 600).
@@ -321,9 +321,13 @@ def main():
     msm = fast.msm_g1
     fb_g1 = fast.fb_g1
 
+    # tier ORDER is priority order (run as given, not sorted): a cold
+    # driver run that gets cut should lose the cheap tiers, not the
+    # headline ones — 2^16 and 2^20 ride the already-warm big family,
+    # while 2^14 waits on the small-chunk family compiles
     tiers = [
         int(t)
-        for t in os.environ.get("GOSNARK_BENCH_PROVE", "14,16,18,20").split(",")
+        for t in os.environ.get("GOSNARK_BENCH_PROVE", "16,20,14,18").split(",")
         if t.strip()
     ]
 
@@ -568,7 +572,7 @@ def main():
     # tiers run UNGATED (est=0): each completed tier lands in the artifact
     # immediately, and a driver cut mid-ladder still keeps everything
     # measured so far (the signal handler emits the partial JSON)
-    for clog in sorted(tiers):
+    for clog in tiers:
         _tier(clog, est=0)
 
     # ---------------- MSM at 2^21 (single-chip feasibility probe) --------
